@@ -1,0 +1,130 @@
+"""Per-block codec pipeline and whole-archive compress/decompress.
+
+Encode chain per block (jampack.cpp:30-42):
+    checksum -> LZ77 dedupe -> filters -> Lpx -> LZ77 (configured mode)
+    -> forward BWT -> entropy (rank/RLE0/rANS)
+Decode runs the inverse chain and verifies the checksum (jampack.cpp:47-58).
+
+This module is engine-agnostic: `Engine` is the executable-spec Python/numpy
+engine; the native C++ engine and the TPU engine plug in with the same stage
+interface (see native/, kernels/).
+"""
+
+import numpy as np
+
+from ..format import checksum as _checksum
+from ..format import framing
+from ..format.constants import DEFAULT_BLOCKSIZE, MIN_BLOCKSIZE, MAX_BLOCKSIZE
+from ..stages.ans import ans_decode, ans_encode
+from ..stages.bwt import forward_bwt, inverse_bwt
+from ..stages.filters import filters_decode, filters_encode
+from ..stages.lpx import lpx_decode, lpx_encode
+from ..stages.lz77 import lz77_decode, lz77_dedupe_encode
+
+
+class Options:
+    def __init__(self, blocksize=DEFAULT_BLOCKSIZE, match_finder=0, filters=1,
+                 threads=1, multiblock=True):
+        self.blocksize = int(min(max(blocksize, MIN_BLOCKSIZE), MAX_BLOCKSIZE))
+        self.match_finder = match_finder
+        self.filters = filters
+        self.threads = threads
+        self.multiblock = multiblock
+
+
+class Engine:
+    """Executable-spec engine: pure Python/numpy stage implementations."""
+
+    name = "numpy"
+
+    def checksum(self, data) -> int:
+        return _checksum.integrity_check(data)
+
+    def lz_encode(self, data, mode: int):
+        # modes 1/2 fall back to dedupe until the native engine provides them
+        return lz77_dedupe_encode(data)
+
+    def lz_decode(self, data):
+        return lz77_decode(data)
+
+    def filters_encode(self, data, mode: int):
+        return filters_encode(data, mode)
+
+    def filters_decode(self, data):
+        return filters_decode(data)
+
+    def lpx_encode(self, data):
+        return lpx_encode(data)
+
+    def lpx_decode(self, data):
+        return lpx_decode(data)
+
+    def bwt_forward(self, data):
+        return forward_bwt(data)
+
+    def bwt_inverse(self, data):
+        return inverse_bwt(data)
+
+    def ans_encode(self, data):
+        return ans_encode(data)
+
+    def ans_decode(self, data):
+        return ans_decode(data)
+
+
+def compress_block(data: np.ndarray, opt: Options, engine=None):
+    """Returns (crc, compressed_payload_bytes)."""
+    eng = engine or Engine()
+    data = np.asarray(data, dtype=np.uint8)
+    crc = eng.checksum(data)
+    s = eng.lz_encode(data, 0)  # dedupe pre-pass (always mode 0)
+    s = eng.filters_encode(s, opt.filters)
+    s = eng.lpx_encode(s)
+    s = eng.lz_encode(s, opt.match_finder)
+    s = eng.bwt_forward(s)
+    payload = eng.ans_encode(s)
+    return crc, bytes(payload)
+
+
+def decompress_block(payload, crc: int, engine=None) -> np.ndarray:
+    eng = engine or Engine()
+    s = eng.ans_decode(np.frombuffer(payload, dtype=np.uint8))
+    s = eng.bwt_inverse(s)
+    s = eng.lz_decode(s)
+    s = eng.lpx_decode(s)
+    s = eng.filters_decode(s)
+    s = eng.lz_decode(s)
+    out = np.asarray(s, dtype=np.uint8)
+    if eng.checksum(out) != (crc & 0xFFFFFFFF):
+        raise ValueError("detected corrupt block")
+    return out
+
+
+def compress_stream(inp, out, opt: Options = None, engine=None):
+    """File-object to file-object archive compression."""
+    opt = opt or Options()
+    raw = comp = 0
+    while True:
+        block = inp.read(opt.blocksize)
+        if len(block) == 0:
+            break
+        data = np.frombuffer(block, dtype=np.uint8)
+        crc, payload = compress_block(data, opt, engine)
+        framing.write_block(out, crc, payload, opt.blocksize)
+        raw += len(block)
+        comp += len(payload) + framing.HEADER_SIZE
+    return raw, comp
+
+
+def decompress_stream(inp, out, engine=None):
+    raw = comp = 0
+    while True:
+        rec = framing.read_block(inp)
+        if rec is None:
+            break
+        header, payload = rec
+        data = decompress_block(payload, header.crc, engine)
+        out.write(data.tobytes())
+        comp += header.csize + framing.HEADER_SIZE
+        raw += data.size
+    return comp, raw

@@ -1,0 +1,179 @@
+"""Entropy stage: SRC rank -> RLE0 -> structured 4-way interleaved rANS.
+
+Per 1 MB chunk (model state resets at every chunk boundary, making chunks
+independently decodable — the parallel-decode unit of the format):
+
+  1. models reset (1 exponent AdaptiveModel + 2 adaptive + 6 quasi mantissa),
+  2. rank transform, RLE0 to 16-bit symbols,
+  3. each symbol split into exponent + mantissa, two (low,freq) pairs pushed
+     through the models in forward order,
+  4. pairs encoded in reverse through 4 interleaved rANS states rotating
+     R0->R3, flushed R3..R0 (16 bytes of state),
+  5. chunk header: 256 LEB128 rank freqs + olen + clen + rlen.
+
+This module is the slow, obviously-correct executable spec; the native C++
+engine (native/) and the TPU kernels (kernels/) are validated against it.
+
+Reference behavior: ans.cpp:14-302.
+"""
+
+import numpy as np
+
+from ..format.constants import (
+    ANS_CHUNK_SIZE,
+    MAX_MODELS,
+    MODEL_SWITCH_THRESHOLD,
+    PROB_BITS,
+    RANS_BYTE_L,
+)
+from ..format.tables import EXPONENT, LOG, MANTISSA
+from ..format.varint import decode_leb128, encode_leb128
+from .models import AdaptiveModel, QuasiModel
+from .rank import rank_decode, rank_encode
+from .rle0 import rle0_decode, rle0_encode
+from .rans import RansDecoder, RansEncoder
+
+
+def _make_models():
+    exp_model = AdaptiveModel(MAX_MODELS)
+    mant = []
+    for c in range(MAX_MODELS):
+        alpha = int(EXPONENT[c + 1] - EXPONENT[c])
+        if c < MODEL_SWITCH_THRESHOLD:
+            mant.append(AdaptiveModel(alpha))
+        else:
+            mant.append(QuasiModel(alpha))
+    return exp_model, mant
+
+
+def write_chunk_header(freqs, olen: int, clen: int, rlen: int) -> bytes:
+    out = bytearray()
+    for f in freqs:
+        out += encode_leb128(int(f))
+    out += encode_leb128(olen)
+    out += encode_leb128(clen)
+    out += encode_leb128(rlen)
+    return bytes(out)
+
+
+def read_chunk_header(buf, pos: int):
+    freqs = [0] * 256
+    for i in range(256):
+        freqs[i], pos = decode_leb128(buf, pos)
+    olen, pos = decode_leb128(buf, pos)
+    clen, pos = decode_leb128(buf, pos)
+    rlen, pos = decode_leb128(buf, pos)
+    if not (0 <= olen <= ANS_CHUNK_SIZE) or not (0 <= rlen <= ANS_CHUNK_SIZE):
+        raise ValueError("misaligned or corrupt chunk header")
+    return freqs, olen, clen, rlen, pos
+
+
+def ans_encode(data: np.ndarray) -> bytes:
+    """Encode a whole stage buffer (any length) into the chunked stream."""
+    data = np.asarray(data, dtype=np.uint8)
+    out = bytearray()
+    for base in range(0, data.size, ANS_CHUNK_SIZE):
+        chunk = data[base : base + ANS_CHUNK_SIZE].copy()
+        out += ans_encode_chunk(chunk)
+    return bytes(out)
+
+
+def ans_encode_chunk(chunk: np.ndarray) -> bytes:
+    exp_model, mant = _make_models()
+    exp_model.reset()
+    for m in mant:
+        m.reset()
+
+    olen = int(chunk.size)
+    ranked, freqs = rank_encode(chunk)
+    syms = rle0_encode(ranked)
+    rlen = int(syms.size)
+
+    # Forward pass: collect (low, freq) pairs.
+    lows = np.empty(rlen * 2, dtype=np.int64)
+    fqs = np.empty(rlen * 2, dtype=np.int64)
+    sptr = 0
+    for sym in syms.tolist():
+        e = int(LOG[sym])
+        m = int(MANTISSA[sym])
+        lows[sptr] = exp_model.sym_to_low(e)
+        fqs[sptr] = exp_model.sym_to_freq(e)
+        exp_model.update(e)
+        mm = mant[e]
+        lows[sptr + 1] = mm.sym_to_low(m)
+        fqs[sptr + 1] = mm.sym_to_freq(m)
+        if fqs[sptr] <= 0 or fqs[sptr + 1] <= 0:
+            # Failure parity with the reference: pathologically skewed quasi
+            # tables wrap C int arithmetic during the rescale (model.cpp:183)
+            # and the reference aborts on its own assert here (ans.cpp:162-184).
+            # Such chunks have no decodable ref-compatible encoding.
+            raise ValueError("model failure (CDF): chunk not encodable in ref-compat mode")
+        mm.update(m)
+        sptr += 2
+
+    # Reverse pass through 4 interleaved states.
+    enc = RansEncoder()
+    R = [RANS_BYTE_L] * 4
+    for i in range(sptr - 1, -1, -1):
+        x = enc.put(R[3], int(lows[i]), int(fqs[i]), PROB_BITS)
+        R = [x, R[0], R[1], R[2]]
+    enc.flush(R[3])
+    enc.flush(R[2])
+    enc.flush(R[1])
+    enc.flush(R[0])
+    payload = enc.getvalue()
+
+    return write_chunk_header(freqs, olen, len(payload), rlen) + payload
+
+
+def ans_decode(buf, expect_size=None) -> np.ndarray:
+    """Decode a full chunked stream back to the stage buffer."""
+    buf = memoryview(buf)
+    pos = 0
+    parts = []
+    while pos < len(buf):
+        freqs, olen, clen, rlen, pos = read_chunk_header(buf, pos)
+        parts.append(ans_decode_chunk(buf, pos, freqs, olen, clen, rlen))
+        pos += clen
+    if parts:
+        out = np.concatenate(parts)
+    else:
+        out = np.zeros(0, dtype=np.uint8)
+    if expect_size is not None and out.size != expect_size:
+        raise ValueError("decoded size mismatch")
+    return out
+
+
+def ans_decode_chunk(buf, pos, freqs, olen, clen, rlen) -> np.ndarray:
+    exp_model, mant = _make_models()
+    exp_model.reset()
+    for m in mant:
+        m.reset()
+
+    dec = RansDecoder(buf, pos)
+    R = [dec.init_state() for _ in range(4)]
+
+    syms = np.empty(rlen, dtype=np.uint16)
+    for i in range(rlen):
+        x = R[0]
+        rng = RansDecoder.get(x, PROB_BITS)
+        e = exp_model.range_to_sym(rng)
+        x = dec.advance(x, exp_model.sym_to_low(e), exp_model.sym_to_freq(e), PROB_BITS)
+        exp_model.update(e)
+        R = [R[1], R[2], R[3], x]
+
+        x = R[0]
+        mm = mant[e]
+        rng = RansDecoder.get(x, PROB_BITS)
+        m = mm.range_to_sym(rng)
+        x = dec.advance(x, mm.sym_to_low(m), mm.sym_to_freq(m), PROB_BITS)
+        mm.update(m)
+        R = [R[1], R[2], R[3], x]
+
+        syms[i] = int(EXPONENT[e]) + m
+
+    if any(r != RANS_BYTE_L for r in R):
+        raise ValueError("invalid rANS state")
+
+    ranked = rle0_decode(syms, olen)
+    return rank_decode(ranked, freqs)
