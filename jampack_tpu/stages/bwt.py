@@ -30,14 +30,14 @@ def suffix_array(t: np.ndarray) -> np.ndarray:
     if n == 0:
         return np.zeros(0, dtype=np.int32)
     rank = t.astype(np.int64)
-    idx = np.arange(n, dtype=np.int64)
+    mult = max(n, 256) + 1  # ranks start as raw bytes (may exceed n)
     k = 1
     while True:
         # key2: rank of suffix i+k, or -1 past the end (shorter sorts first)
         key2 = np.full(n, -1, dtype=np.int64)
         key2[: n - k] = rank[k:]
         order = np.lexsort((key2, rank))
-        combined = rank[order] * (n + 1) + (key2[order] + 1)
+        combined = rank[order] * mult + (key2[order] + 1)
         new_rank = np.empty(n, dtype=np.int64)
         boundaries = np.empty(n, dtype=bool)
         boundaries[0] = True

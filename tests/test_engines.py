@@ -1,0 +1,60 @@
+"""Engine-parameterized pipeline tests: every engine must agree bit-exactly."""
+
+import io
+
+import numpy as np
+import pytest
+
+from jampack_tpu.runtime.engines import TpuEngine
+from jampack_tpu.runtime.pipeline import (
+    Engine,
+    Options,
+    compress_stream,
+    decompress_stream,
+)
+
+RNG = np.random.default_rng(321)
+
+
+def engines():
+    yield Engine()
+    yield TpuEngine()
+
+
+@pytest.mark.parametrize("engine", list(engines()), ids=lambda e: e.name)
+def test_engine_roundtrip(engine):
+    data = np.concatenate(
+        [
+            RNG.integers(0, 256, 30000, dtype=np.uint8),
+            np.zeros(10000, dtype=np.uint8),
+            np.frombuffer(b"structured text pattern " * 1000, dtype=np.uint8),
+        ]
+    ).tobytes()
+    arc = io.BytesIO()
+    compress_stream(io.BytesIO(data), arc, Options(filters=1), engine=engine)
+    back = io.BytesIO()
+    decompress_stream(io.BytesIO(arc.getvalue()), back, engine=engine)
+    assert back.getvalue() == data
+
+
+def test_engines_produce_identical_archives():
+    data = np.frombuffer(b"interop check " * 3000, dtype=np.uint8).tobytes()
+    arcs = []
+    for engine in engines():
+        arc = io.BytesIO()
+        compress_stream(io.BytesIO(data), arc, Options(filters=1), engine=engine)
+        arcs.append(arc.getvalue())
+    assert arcs[0] == arcs[1]
+
+
+def test_cross_engine_decode(oracle, tmp_path):
+    data = np.frombuffer(b"cross engine decode " * 2500, dtype=np.uint8).tobytes()
+    raw = tmp_path / "in.bin"
+    jam = tmp_path / "a.jam"
+    raw.write_bytes(data)
+    oracle.compress(raw, jam)
+    for engine in engines():
+        out = io.BytesIO()
+        with open(jam, "rb") as f:
+            decompress_stream(f, out, engine=engine)
+        assert out.getvalue() == data

@@ -1,0 +1,73 @@
+"""TPU kernels (run here on the CPU backend) vs the numpy executable spec."""
+
+import numpy as np
+import pytest
+
+from jampack_tpu.stages.bwt import forward_bwt, inverse_bwt, suffix_array
+from jampack_tpu.stages.ans import ans_encode_chunk, read_chunk_header
+from jampack_tpu.stages.rank import rank_decode
+from jampack_tpu.stages.rle0 import rle0_decode, rle0_encode
+from jampack_tpu.stages.rank import rank_encode
+from jampack_tpu.kernels.ibwt import inverse_bwt_tpu
+from jampack_tpu.kernels.sa import forward_bwt_tpu, suffix_array_tpu
+from jampack_tpu.kernels.rans_decode import decode_chunk_tpu
+
+RNG = np.random.default_rng(99)
+
+
+def bwt_inputs():
+    yield np.zeros(0, dtype=np.uint8)
+    yield RNG.integers(0, 256, 119, dtype=np.uint8)  # below one unit
+    yield RNG.integers(0, 256, 120, dtype=np.uint8)
+    yield RNG.integers(0, 256, 10000, dtype=np.uint8)
+    yield np.zeros(5000, dtype=np.uint8)
+    yield np.tile(np.arange(9, dtype=np.uint8), 2000)
+    yield np.frombuffer(b"mississippi banana abracadabra " * 700, dtype=np.uint8)
+
+
+@pytest.mark.parametrize("idx", range(7))
+def test_suffix_array_tpu_matches_spec(idx):
+    data = list(bwt_inputs())[idx]
+    n = (data.size // 120) * 120
+    if n == 0:
+        return
+    assert np.array_equal(suffix_array_tpu(data[:n]), suffix_array(data[:n]))
+
+
+@pytest.mark.parametrize("idx", range(7))
+def test_forward_bwt_tpu_matches_spec(idx):
+    data = list(bwt_inputs())[idx]
+    assert np.array_equal(forward_bwt_tpu(data), forward_bwt(data))
+
+
+@pytest.mark.parametrize("idx", range(7))
+def test_inverse_bwt_tpu_roundtrip(idx):
+    data = list(bwt_inputs())[idx]
+    enc = forward_bwt(data)
+    assert np.array_equal(inverse_bwt_tpu(enc), data)
+
+
+def test_bwt_tpu_full_cycle():
+    data = RNG.integers(0, 256, 50000, dtype=np.uint8)
+    assert np.array_equal(inverse_bwt_tpu(forward_bwt_tpu(data)), data)
+
+
+def ans_chunk_inputs():
+    yield RNG.integers(0, 256, 5000, dtype=np.uint8)
+    yield np.zeros(3000, dtype=np.uint8)
+    yield RNG.integers(0, 4, 20000, dtype=np.uint8)
+    yield np.repeat(RNG.integers(0, 16, 300, dtype=np.uint8), RNG.integers(1, 50, 300)).astype(np.uint8)
+    # exercise quasi rescales heavily (> 64K symbols through high classes)
+    yield RNG.integers(0, 256, 80000, dtype=np.uint8)
+
+
+@pytest.mark.parametrize("idx", range(5))
+def test_rans_decode_tpu_matches_spec(idx):
+    data = list(ans_chunk_inputs())[idx]
+    blob = ans_encode_chunk(data)
+    freqs, olen, clen, rlen, pos = read_chunk_header(blob, 0)
+    payload = np.frombuffer(blob[pos : pos + clen], dtype=np.uint8)
+    syms = decode_chunk_tpu(payload, rlen)
+    ranked = rle0_decode(syms, olen)
+    out = rank_decode(ranked, freqs)
+    assert np.array_equal(out, data)
