@@ -1,0 +1,485 @@
+// Entropy stage: SRC rank -> RLE0 -> structured 4-way interleaved rANS.
+// Stream-exact with the reference chunk layout (ans.cpp:113-302) and model
+// arithmetic (model.cpp, rank.cpp, rle.cpp, rans_byte.hpp); fresh
+// implementation organized around flat state structs instead of classes.
+#include <omp.h>
+
+#include "jn_common.hpp"
+
+namespace jpt {
+
+// ---- symbol structure tables (tables.hpp semantics, generated) ----
+struct SymTables {
+  int exponent[9];
+  int log2c[257];
+  int mant[257];
+  SymTables() {
+    const int bounds[9] = {0, 2, 4, 8, 16, 32, 64, 128, 257};
+    for (int i = 0; i < 9; i++) exponent[i] = bounds[i];
+    for (int s = 0; s < 257; s++) {
+      int e = 0;
+      while (e < 8 && s >= bounds[e + 1]) e++;
+      log2c[s] = e;
+      mant[s] = s - bounds[e];
+    }
+  }
+};
+static const SymTables kSym;
+
+constexpr int kMaxModels = 8;
+constexpr int kSwitch = 2;  // exponents 0..1 adaptive, rest quasi
+constexpr int kRate = 5;
+constexpr int kUpdateRate = 64 << 10;
+
+// ---- adaptive CDF-mixing model (model.cpp:11-113 semantics) ----
+struct Adaptive {
+  int alpha = 0;
+  std::vector<i32> mix;  // (alpha) x (alpha+1)
+  std::vector<i32> cum;  // alpha+1
+
+  void init(int a) {
+    alpha = a;
+    mix.assign(size_t(a) * (a + 1), 0);
+    cum.assign(a + 1, 0);
+    for (int sym = 0; sym < a; sym++) {
+      i32 rm = 0;
+      i32* row = &mix[size_t(sym) * (a + 1)];
+      for (int st = 0; st <= a; st++) {
+        row[st] = rm;
+        rm += (st == sym) ? (kProbScale - a + 1) : 1;
+      }
+    }
+    reset();
+  }
+  void reset() {
+    i32 scale = kProbScale / alpha;
+    cum[0] = 0;
+    for (int i = 0; i < alpha; i++)
+      cum[i + 1] = cum[i] + scale + ((i == 0) ? (kProbScale - scale * alpha) : 0);
+  }
+  inline void update(int sym) {
+    const i32* row = &mix[size_t(sym) * (alpha + 1)];
+    for (int i = 1; i < alpha; i++) cum[i] += (row[i] - cum[i]) >> kRate;
+  }
+  inline int range_to_sym(u32 r) const {
+    int i = 0;
+    while (!(u32(cum[i]) <= r && r < u32(cum[i + 1]))) i++;
+    return i;
+  }
+};
+
+// ---- quasi-static model (model.cpp:115-235 semantics, incl. int wrap) ----
+struct Quasi {
+  int alpha = 0;
+  int seen = 0, exp = 8;
+  std::vector<i32> freqs, cum;
+  std::vector<u16> r2s;  // kProbScale entries
+
+  void init(int a) {
+    alpha = a;
+    freqs.assign(a, 0);
+    cum.assign(a + 1, 0);
+    r2s.assign(kProbScale, 0);
+    reset();
+  }
+  void rebuild_lut() {
+    cum[0] = 0;
+    for (int i = 0; i < alpha; i++) cum[i + 1] = cum[i] + freqs[i];
+    // clamp the fill range: in the wrapped-arithmetic regime (see update())
+    // cum can stray outside [0, kProbScale); the reference would overflow
+    // its LUT here — we clamp, matching the Python spec's degenerate path
+    for (int s = 0; s < alpha; s++) {
+      i32 lo = cum[s] < 0 ? 0 : (cum[s] > kProbScale ? kProbScale : cum[s]);
+      i32 hi = cum[s + 1] < 0 ? 0
+               : (cum[s + 1] > kProbScale ? kProbScale : cum[s + 1]);
+      for (i32 i = lo; i < hi; i++) r2s[i] = u16(s);
+    }
+  }
+  void reset() {
+    seen = 0;
+    exp = 8;
+    i32 scale = kProbScale / alpha;
+    for (int i = 0; i < alpha; i++) freqs[i] = scale;
+    freqs[0] += kProbScale - scale * alpha;
+    rebuild_lut();
+    std::fill(freqs.begin(), freqs.end(), 0);
+  }
+  inline void update(int sym) {
+    freqs[sym] += kProbBits;
+    if (++seen > exp) {
+      i32 total = 0, lg = 0;
+      for (int i = 0; i < alpha; i++) total += freqs[i];
+      while (((total >> lg) + alpha) > kProbScale) lg++;
+      total = 0;
+      for (int i = 0; i < alpha; i++) total += freqs[i] = (freqs[i] >> lg) + 1;
+      for (int i = 0; i < alpha; i++)
+        freqs[i] = i32(u32(kProbScale) * u32(freqs[i])) / total;  // C int wrap
+      i32 t2 = 0;
+      for (int i = 0; i < alpha; i++) t2 += freqs[i];
+      freqs[0] += kProbScale - t2;
+      rebuild_lut();
+      std::fill(freqs.begin(), freqs.end(), 0);
+      seen = 0;
+      exp = (exp < kUpdateRate) ? exp << 1 : kUpdateRate;
+    }
+  }
+};
+
+// ---- SRC rank transform (rank.cpp semantics) ----
+static void sorted_map(const i32* freq, u8* out_map, int* out_n) {
+  i32 copy[256];
+  memcpy(copy, freq, sizeof(copy));
+  int n = 0;
+  for (int j = 0; j < 256; j++) {
+    i32 mx = 0;
+    int bsym = 0;
+    for (int i = 0; i < 256; i++)
+      if (copy[i] > mx) { bsym = i; mx = copy[i]; }
+    if (mx == 0) break;
+    out_map[n++] = u8(bsym);
+    copy[bsym] = 0;
+  }
+  *out_n = n;
+}
+
+void rank_encode(u8* t, i32* freq, i32 len) {
+  memset(freq, 0, 256 * sizeof(i32));
+  u8 s2r[256], r2s[256];
+  int unique = 0;
+  for (i32 i = 0; i < len; i++) {
+    u8 sym = t[i];
+    if (freq[sym]++ == 0) {
+      r2s[unique] = sym;
+      s2r[sym] = u8(unique);
+      unique++;
+    }
+  }
+  u8 smap[256];
+  int nsyms;
+  sorted_map(freq, smap, &nsyms);
+  i32 bucket[256];
+  for (int i = 0, pos = 0; i < nsyms; i++) {
+    bucket[smap[i]] = pos;
+    pos += freq[smap[i]];
+  }
+  std::vector<u8> out(len);
+  for (i32 i = 0; i < len; i++) {
+    u8 sym = t[i];
+    u8 rank = s2r[sym];
+    out[bucket[sym]++] = rank;
+    if (rank > 0) {
+      do {
+        s2r[r2s[rank] = r2s[rank - 1]] = rank;
+      } while (0 < --rank);
+      s2r[r2s[0] = sym] = 0;
+    }
+  }
+  memcpy(t, out.data(), len);
+}
+
+bool rank_decode(u8* ranks, const i32* freq, i32 len) {
+  i64 total = 0;
+  for (int i = 0; i < 256; i++) total += freq[i];
+  if (total != len) return false;
+  int unique = 0;
+  for (int i = 0; i < 256; i++) unique += (freq[i] > 0);
+  u8 smap[256];
+  int nsyms;
+  sorted_map(freq, smap, &nsyms);
+  i32 bucket[256], bucket_end[256];
+  u8 r2s[256];
+  for (int i = 0, pos = 0; i < nsyms; i++) {
+    u8 sym = smap[i];
+    r2s[ranks[pos]] = sym;
+    bucket[sym] = pos + 1;
+    pos += freq[sym];
+    bucket_end[sym] = pos;
+  }
+  std::vector<u8> out(len);
+  u8 sym = r2s[0];
+  for (i32 i = 0; i < len; i++) {
+    out[i] = sym;
+    if (bucket[sym] < bucket_end[sym]) {
+      u8 rank = ranks[bucket[sym]++];
+      if (rank > 0) {
+        int s = 0;
+        do r2s[s] = r2s[s + 1]; while (++s < rank);
+        r2s[rank] = sym;
+        sym = r2s[0];
+      }
+    } else if (unique > 0) {
+      unique--;
+      int s = 0;
+      do r2s[s] = r2s[s + 1]; while (++s < (unique > 0 ? unique : 1));
+      sym = r2s[0];
+    } else {
+      unique--;  // reference post-decrements past zero; harmless
+    }
+  }
+  memcpy(ranks, out.data(), len);
+  return true;
+}
+
+// ---- RLE0 (rle.cpp semantics) ----
+i32 rle0_encode(const u8* in, u16* out, i32 len) {
+  i32 op = 0;
+  for (i32 i = 0; i < len;) {
+    if (in[i] == 0) {
+      i32 run = 1;
+      while ((i + run) < len && in[i + run] == 0) run++;
+      i += run;
+      i32 L = run + 1;
+      int msb = 0;
+      for (i32 v = L; v; v >>= 1) msb++;
+      for (int k = msb - 2; k >= 0; k--) out[op++] = u16((L >> k) & 1);
+    } else {
+      out[op++] = u16(in[i++] + 1);
+    }
+  }
+  return op;
+}
+
+bool rle0_decode(const u16* in, i32 len, u8* out, i32 real_len) {
+  i32 op = 0;
+  for (i32 i = 0; i < len;) {
+    if (in[i] > 1) {
+      if (op >= real_len) return false;
+      out[op++] = u8(in[i++] - 1);
+    } else {
+      i64 rle = 1;
+      while (i < len && in[i] <= 1) rle = (rle << 1) | in[i++];
+      rle -= 1;
+      if (op + rle > real_len) return false;
+      while (rle--) out[op++] = 0;
+    }
+  }
+  return op == real_len;
+}
+
+// ---- rANS primitives (rans_byte.hpp semantics) ----
+static inline void renc_put(u32* r, u8** pp, u32 start, u32 freq, u32 bits) {
+  u32 x = *r;
+  u32 x_max = ((kRansL >> bits) << 8) * freq;
+  while (x >= x_max) {
+    *--(*pp) = u8(x & 0xFF);
+    x >>= 8;
+  }
+  *r = ((x / freq) << bits) + (x % freq) + start;
+}
+
+static inline void renc_flush(u32 r, u8** pp) {
+  u8* p = *pp - 4;
+  p[0] = u8(r);
+  p[1] = u8(r >> 8);
+  p[2] = u8(r >> 16);
+  p[3] = u8(r >> 24);
+  *pp = p;
+}
+
+static inline u32 rdec_init(const u8** pp) {
+  const u8* p = *pp;
+  u32 x = u32(p[0]) | (u32(p[1]) << 8) | (u32(p[2]) << 16) | (u32(p[3]) << 24);
+  *pp = p + 4;
+  return x;
+}
+
+static inline u32 rdec_advance(u32 x, const u8** pp, u32 start, u32 freq, u32 bits) {
+  u32 mask = (1u << bits) - 1;
+  x = freq * (x >> bits) + (x & mask) - start;
+  while (x < kRansL) x = (x << 8) | *(*pp)++;
+  return x;
+}
+
+// ---- chunk models bundle ----
+struct Models {
+  Adaptive expm;
+  Adaptive mant_a[kSwitch];
+  Quasi mant_q[kMaxModels - kSwitch];
+  Models() {
+    expm.init(kMaxModels);
+    for (int c = 0; c < kSwitch; c++)
+      mant_a[c].init(kSym.exponent[c + 1] - kSym.exponent[c]);
+    for (int c = 0; c < kMaxModels - kSwitch; c++)
+      mant_q[c].init(kSym.exponent[c + kSwitch + 1] - kSym.exponent[c + kSwitch]);
+  }
+  void reset() {
+    expm.reset();
+    for (auto& m : mant_a) m.reset();
+    for (auto& m : mant_q) m.reset();
+  }
+};
+
+// Encode one chunk; returns bytes written to out (header + payload), -1 on
+// model failure (the reference aborts in that regime), -2 if out of space.
+static i64 encode_chunk(const u8* in, i32 len, u8* out, i64 out_cap, Models& M,
+                        std::vector<u16>& rlebuf, std::vector<u32>& lows,
+                        std::vector<u32>& fqs, std::vector<u8>& tmp) {
+  M.reset();
+  std::vector<u8> ranked(in, in + len);
+  i32 freq[256];
+  rank_encode(ranked.data(), freq, len);
+  i32 rlen = rle0_encode(ranked.data(), rlebuf.data(), len);
+
+  i64 sp = 0;
+  for (i32 i = 0; i < rlen; i++) {
+    int sym = rlebuf[i];
+    int e = kSym.log2c[sym];
+    int m = kSym.mant[sym];
+    lows[sp] = u32(M.expm.cum[e]);
+    fqs[sp] = u32(M.expm.cum[e + 1] - M.expm.cum[e]);
+    M.expm.update(e);
+    if (e < kSwitch) {
+      Adaptive& a = M.mant_a[e];
+      lows[sp + 1] = u32(a.cum[m]);
+      i32 f = a.cum[m + 1] - a.cum[m];
+      if (f <= 0) return -1;
+      fqs[sp + 1] = u32(f);
+      a.update(m);
+    } else {
+      Quasi& q = M.mant_q[e - kSwitch];
+      lows[sp + 1] = u32(q.cum[m]);
+      i32 f = q.cum[m + 1] - q.cum[m];
+      if (f <= 0) return -1;
+      fqs[sp + 1] = u32(f);
+      q.update(m);
+    }
+    sp += 2;
+  }
+
+  u32 R[4] = {kRansL, kRansL, kRansL, kRansL};
+  u8* end = tmp.data() + tmp.size();
+  u8* ptr = end;
+  for (i64 i = sp; i > 0; i--) {
+    u32 x = R[3];
+    renc_put(&x, &ptr, lows[i - 1], fqs[i - 1], kProbBits);
+    R[3] = R[2];
+    R[2] = R[1];
+    R[1] = R[0];
+    R[0] = x;
+  }
+  renc_flush(R[3], &ptr);
+  renc_flush(R[2], &ptr);
+  renc_flush(R[1], &ptr);
+  renc_flush(R[0], &ptr);
+
+  i64 csize = end - ptr;
+  u8 header[256 * 5 + 16];
+  i64 pos = 0;
+  for (int i = 0; i < 256; i++) pos += var_encode(freq[i], header + pos);
+  pos += var_encode(len, header + pos);
+  pos += var_encode(i32(csize), header + pos);
+  pos += var_encode(rlen, header + pos);
+  if (pos + csize > out_cap) return -2;
+  memcpy(out, header, pos);
+  memcpy(out + pos, ptr, csize);
+  return pos + csize;
+}
+
+// Decode one chunk payload (after its header) into out.
+static bool decode_chunk(const u8* in, u8* out, i32 olen, i32 rlen,
+                         const i32* freq, Models& M, std::vector<u16>& rlebuf) {
+  M.reset();
+  const u8* ptr = in;
+  u32 R[4];
+  for (int i = 0; i < 4; i++) R[i] = rdec_init(&ptr);
+  for (i32 s = 0; s < rlen; s++) {
+    u32 x = R[0];
+    u32 rng = x & (kProbScale - 1);
+    int e = M.expm.range_to_sym(rng);
+    x = rdec_advance(x, &ptr, u32(M.expm.cum[e]),
+                     u32(M.expm.cum[e + 1] - M.expm.cum[e]), kProbBits);
+    M.expm.update(e);
+    R[0] = R[1]; R[1] = R[2]; R[2] = R[3]; R[3] = x;
+
+    x = R[0];
+    rng = x & (kProbScale - 1);
+    int m;
+    if (e < kSwitch) {
+      Adaptive& a = M.mant_a[e];
+      m = a.range_to_sym(rng);
+      x = rdec_advance(x, &ptr, u32(a.cum[m]), u32(a.cum[m + 1] - a.cum[m]),
+                       kProbBits);
+      a.update(m);
+    } else {
+      Quasi& q = M.mant_q[e - kSwitch];
+      m = q.r2s[rng];
+      x = rdec_advance(x, &ptr, u32(q.cum[m]), u32(q.cum[m + 1] - q.cum[m]),
+                       kProbBits);
+      q.update(m);
+    }
+    R[0] = R[1]; R[1] = R[2]; R[2] = R[3]; R[3] = x;
+    rlebuf[s] = u16(kSym.exponent[e] + m);
+  }
+  if (R[0] != kRansL || R[1] != kRansL || R[2] != kRansL || R[3] != kRansL)
+    return false;
+  if (!rle0_decode(rlebuf.data(), rlen, out, olen)) return false;
+  return rank_decode(out, freq, olen);
+}
+
+}  // namespace jpt
+
+extern "C" {
+
+int64_t jam_ans_encode(const uint8_t* in, int64_t n, uint8_t* out, int64_t cap) {
+  using namespace jpt;
+  Models M;
+  std::vector<u16> rlebuf(kAnsChunk);
+  std::vector<u32> lows(size_t(kAnsChunk) * 2), fqs(size_t(kAnsChunk) * 2);
+  // 4 bytes/encode-op worst case + flush: size the scratch for the true bound
+  std::vector<u8> tmp(size_t(kAnsChunk) * 4 + 64);
+  i64 ip = 0, op = 0;
+  while (ip < n) {
+    i32 len = i32(((ip + kAnsChunk) < n) ? kAnsChunk : (n - ip));
+    i64 w = encode_chunk(in + ip, len, out + op, cap - op, M, rlebuf, lows,
+                         fqs, tmp);
+    if (w < 0) return w;
+    op += w;
+    ip += len;
+  }
+  return op;
+}
+
+int64_t jam_ans_decode(const uint8_t* in, int64_t n, uint8_t* out, int64_t cap,
+                       int32_t threads) {
+  using namespace jpt;
+  // scan headers first to slice chunks for parallel decode (ans.cpp:243-265)
+  struct Chunk { i64 in_off, out_off; i32 olen, clen, rlen; i32 freq[256]; };
+  std::vector<Chunk> chunks;
+  i64 ip = 0, op = 0;
+  while (ip < n) {
+    Chunk c;
+    for (int i = 0; i < 256; i++) ip += var_decode(in + ip, &c.freq[i]);
+    ip += var_decode(in + ip, &c.olen);
+    ip += var_decode(in + ip, &c.clen);
+    ip += var_decode(in + ip, &c.rlen);
+    if (c.olen < 0 || c.olen > kAnsChunk || c.rlen < 0 || c.rlen > kAnsChunk)
+      return -1;
+    c.in_off = ip;
+    c.out_off = op;
+    if (op + c.olen > cap || ip + c.clen > n) return -1;
+    chunks.push_back(c);
+    ip += c.clen;
+    op += c.olen;
+  }
+  bool ok = true;
+#pragma omp parallel num_threads(threads > 0 ? threads : omp_get_max_threads())
+  {
+    Models M;
+    std::vector<u16> rlebuf(kAnsChunk);
+#pragma omp for schedule(dynamic)
+    for (i64 k = 0; k < i64(chunks.size()); k++) {
+      const Chunk& c = chunks[k];
+      if (!decode_chunk(in + c.in_off, out + c.out_off, c.olen, c.rlen, c.freq,
+                        M, rlebuf)) {
+#pragma omp atomic write
+        ok = false;
+      }
+    }
+  }
+  return ok ? op : -1;
+}
+
+uint32_t jam_checksum(const uint8_t* p, int64_t n) {
+  return jpt::block_checksum(p, n);
+}
+}

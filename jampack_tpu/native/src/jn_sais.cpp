@@ -1,0 +1,121 @@
+// Suffix-array construction via SA-IS (induced sorting of LMS substrings,
+// Nong/Zhang/Chan 2009).  Fills the role the vendored divsufsort plays in
+// the reference (bwt.cpp:41) with a different, linear-time algorithm; the
+// output suffix array is identical by definition.
+#include "jn_common.hpp"
+
+namespace jpt {
+
+namespace {
+
+// T has values in [0, K); a virtual sentinel smaller than everything is
+// assumed at position n.  SA receives the lexicographic suffix order.
+template <typename Char>
+void sais_core(const Char* T, i32* SA, i32 n, i32 K) {
+  if (n == 0) return;
+  if (n == 1) { SA[0] = 0; return; }
+
+  std::vector<u8> is_s(n);
+  is_s[n - 1] = 0;  // last suffix is L-type vs the sentinel
+  for (i32 i = n - 2; i >= 0; i--)
+    is_s[i] = (T[i] < T[i + 1]) || (T[i] == T[i + 1] && is_s[i + 1]);
+
+  auto is_lms = [&](i32 i) { return i > 0 && is_s[i] && !is_s[i - 1]; };
+
+  std::vector<i32> bkt(K), head(K), tail(K);
+  for (i32 i = 0; i < n; i++) bkt[T[i]]++;
+  auto reset_heads = [&] {
+    i32 acc = 0;
+    for (i32 c = 0; c < K; c++) { head[c] = acc; acc += bkt[c]; }
+  };
+  auto reset_tails = [&] {
+    i32 acc = 0;
+    for (i32 c = 0; c < K; c++) { acc += bkt[c]; tail[c] = acc; }
+  };
+
+  auto induce = [&] {
+    // L-pass: seed with the predecessor of the sentinel suffix
+    reset_heads();
+    i32 j = n - 1;
+    if (!is_s[j]) SA[head[T[j]]++] = j;
+    for (i32 i = 0; i < n; i++) {
+      j = SA[i] - 1;
+      if (SA[i] > 0 && !is_s[j]) SA[head[T[j]]++] = j;
+    }
+    // S-pass
+    reset_tails();
+    for (i32 i = n - 1; i >= 0; i--) {
+      j = SA[i] - 1;
+      if (SA[i] > 0 && is_s[j]) SA[--tail[T[j]]] = j;
+    }
+  };
+
+  // 1) place LMS suffixes at bucket tails (arbitrary order), induce once
+  std::fill(SA, SA + n, -1);
+  reset_tails();
+  i32 n_lms = 0;
+  for (i32 i = 1; i < n; i++)
+    if (is_lms(i)) { SA[--tail[T[i]]] = i; n_lms++; }
+  induce();
+
+  // 2) compact sorted LMS suffixes, name LMS substrings
+  std::vector<i32> lms_sorted;
+  lms_sorted.reserve(n_lms);
+  for (i32 i = 0; i < n; i++)
+    if (SA[i] > 0 && is_lms(SA[i])) lms_sorted.push_back(SA[i]);
+
+  std::vector<i32> name_of(n, -1);
+  i32 names = 0;
+  i32 prev = -1;
+  for (i32 idx = 0; idx < n_lms; idx++) {
+    i32 cur = lms_sorted[idx];
+    bool same = false;
+    if (prev >= 0) {
+      same = true;
+      for (i32 d = 0;; d++) {
+        bool end_p = (prev + d == n) || (d > 0 && is_lms(prev + d));
+        bool end_c = (cur + d == n) || (d > 0 && is_lms(cur + d));
+        if (end_p && end_c) break;
+        if (end_p != end_c || prev + d >= n || cur + d >= n ||
+            T[prev + d] != T[cur + d]) { same = false; break; }
+      }
+    }
+    if (!same) names++;
+    name_of[cur] = names - 1;
+    prev = cur;
+  }
+
+  // 3) build the reduced string in text order; recurse if names repeat
+  std::vector<i32> lms_pos, reduced;
+  lms_pos.reserve(n_lms);
+  reduced.reserve(n_lms);
+  for (i32 i = 1; i < n; i++)
+    if (is_lms(i)) { lms_pos.push_back(i); reduced.push_back(name_of[i]); }
+
+  std::vector<i32> lms_order(n_lms);
+  if (names < n_lms) {
+    std::vector<i32> sub_sa(n_lms);
+    sais_core<i32>(reduced.data(), sub_sa.data(), n_lms, names);
+    for (i32 i = 0; i < n_lms; i++) lms_order[i] = lms_pos[sub_sa[i]];
+  } else {
+    for (i32 i = 0; i < n_lms; i++) lms_order[name_of[lms_pos[i]]] = lms_pos[i];
+  }
+
+  // 4) final induce from correctly ordered LMS suffixes
+  std::fill(SA, SA + n, -1);
+  reset_tails();
+  for (i32 i = n_lms - 1; i >= 0; i--) SA[--tail[T[lms_order[i]]]] = lms_order[i];
+  induce();
+}
+
+}  // namespace
+
+void suffix_array(const u8* t, i32* sa, i32 n) { sais_core<u8>(t, sa, n, 256); }
+
+}  // namespace jpt
+
+extern "C" int32_t jam_sais(const uint8_t* t, int32_t* sa, int32_t n) {
+  if (n < 0) return -1;
+  jpt::suffix_array(t, sa, n);
+  return 0;
+}

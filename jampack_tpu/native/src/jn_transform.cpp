@@ -1,0 +1,82 @@
+// Forward/inverse BWT with parallel-decode anchors, host path.
+// Stream layout matches bwt.cpp:22-65; the inverse chases all transmitted
+// anchors concurrently (OpenMP over chains) like bwt.cpp:243-276, with a
+// 4-chain-per-thread interleave for out-of-order execution.
+#include <omp.h>
+
+#include "jn_common.hpp"
+
+namespace jpt {
+void suffix_array(const u8* t, i32* sa, i32 n);
+}
+
+extern "C" {
+
+// out must hold n + 480 bytes
+int64_t jam_bwt_forward(const uint8_t* in, int64_t n, uint8_t* out) {
+  using namespace jpt;
+  i64 remainder = n % kBwtUnits;
+  i64 nlen = n - remainder;
+  memcpy(out + nlen, in + nlen, remainder);
+  i32 anchors[kBwtUnits] = {0};
+  if (nlen > 0) {
+    std::vector<i32> sa(nlen);
+    suffix_array(in, sa.data(), i32(nlen));
+    i32 step = i32(nlen / kBwtUnits);
+    for (i64 i = 0; i < nlen; i++)
+      if ((sa[i] % step) == 0) anchors[sa[i] / step] = i32(i);
+    i32 idx = anchors[0];
+    out[0] = in[nlen - 1];
+    for (i64 i = 0; i < idx; i++) out[i + 1] = in[sa[i] - 1];
+    for (i64 i = idx + 1; i < nlen; i++) out[i] = in[sa[i] - 1];
+    for (int i = 0; i < kBwtUnits; i++) anchors[i] += 1;
+  }
+  memcpy(out + n, anchors, sizeof(anchors));
+  return n + i64(sizeof(anchors));
+}
+
+// in holds csize bytes = payload + 480 anchor bytes; out holds csize - 480
+int64_t jam_bwt_inverse(const uint8_t* in, int64_t csize, uint8_t* out,
+                        int32_t threads) {
+  using namespace jpt;
+  i64 n = csize - kBwtUnits * 4;
+  if (n < 0) return -1;
+  i32 anchors[kBwtUnits];
+  memcpy(anchors, in + n, sizeof(anchors));
+  i64 remainder = n % kBwtUnits;
+  i64 nlen = n - remainder;
+  memcpy(out + nlen, in + nlen, remainder);
+  if (nlen == 0) return n;
+
+  i32 idx = anchors[0];
+  // LF map: counting sort of BWT positions by symbol with +1 adjustment
+  std::vector<i32> map(nlen);
+  i64 count[257] = {0};
+  for (i64 i = 0; i < nlen; i++) count[in[i] + 1]++;
+  for (int i = 1; i < 256; i++) count[i] += count[i - 1];
+  for (i64 i = 0; i < idx; i++) map[count[in[i]]++] = i32(i);
+  for (i64 i = idx; i < nlen; i++) map[count[in[i]]++] = i32(i + 1);
+
+  i64 step = nlen / kBwtUnits;
+  i32 p[kBwtUnits];
+  for (int j = 0; j < kBwtUnits; j++) p[j] = anchors[j];
+
+  int nthreads = threads > 0 ? threads : omp_get_max_threads();
+  if (nthreads > kBwtUnits / 4) nthreads = kBwtUnits / 4;
+  if (nthreads < 1) nthreads = 1;
+  while (kBwtUnits % (nthreads * 4) != 0) nthreads--;
+  int per = kBwtUnits / nthreads;
+
+#pragma omp parallel for num_threads(nthreads)
+  for (int t = 0; t < nthreads; t++) {
+    for (i64 i = 0; i < step; i++) {
+      for (int j = t * per; j < (t + 1) * per; j++) {
+        i32 pj = map[p[j] - 1];
+        p[j] = pj;
+        out[i + i64(j) * step] = in[pj - (pj >= idx)];
+      }
+    }
+  }
+  return n;
+}
+}

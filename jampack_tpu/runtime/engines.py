@@ -14,6 +14,54 @@ from ..stages.rank import rank_decode
 from ..stages.rle0 import rle0_decode
 
 
+class NativeEngine(Engine):
+    """Host C++ engine (libjamtpu.so): the fast encode path and the CPU
+    decode baseline.  Same stream contract as the spec engine."""
+
+    name = "native"
+
+    def __init__(self, threads: int = 0):
+        from .. import native
+
+        self._n = native
+        self.threads = threads
+
+    def checksum(self, data):
+        return self._n.checksum(data)
+
+    def lz_encode(self, data, mode: int):
+        return self._n.lz_encode(data, mode)
+
+    def lz_decode(self, data, cap=None):
+        cap = cap or (np.asarray(data).size * 4 + (1 << 20))
+        return self._n.lz_decode(data, cap)
+
+    def filters_encode(self, data, mode: int):
+        return self._n.filters_encode(data, mode, self.threads)
+
+    def filters_decode(self, data):
+        return self._n.filters_decode(data)
+
+    def lpx_encode(self, data):
+        return self._n.lpx_encode(data, self.threads)
+
+    def lpx_decode(self, data):
+        return self._n.lpx_decode(data, self.threads)
+
+    def bwt_forward(self, data):
+        return self._n.bwt_forward(data)
+
+    def bwt_inverse(self, data):
+        return self._n.bwt_inverse(data, self.threads)
+
+    def ans_encode(self, data):
+        return self._n.ans_encode(data)
+
+    def ans_decode(self, data, cap=None):
+        cap = cap or (np.asarray(data).size * 8 + (1 << 20))
+        return self._n.ans_decode(data, cap, self.threads)
+
+
 class TpuEngine(Engine):
     name = "tpu"
 
@@ -27,7 +75,7 @@ class TpuEngine(Engine):
 
         return inverse_bwt_tpu(data)
 
-    def ans_decode(self, data):
+    def ans_decode(self, data, cap=None):
         from ..kernels.rans_decode import decode_chunk_tpu
 
         buf = np.asarray(data, dtype=np.uint8)

@@ -44,7 +44,7 @@ class Engine:
         # modes 1/2 fall back to dedupe until the native engine provides them
         return lz77_dedupe_encode(data)
 
-    def lz_decode(self, data):
+    def lz_decode(self, data, cap=None):
         return lz77_decode(data)
 
     def filters_encode(self, data, mode: int):
@@ -68,7 +68,7 @@ class Engine:
     def ans_encode(self, data):
         return ans_encode(data)
 
-    def ans_decode(self, data):
+    def ans_decode(self, data, cap=None):
         return ans_decode(data)
 
 
@@ -86,14 +86,17 @@ def compress_block(data: np.ndarray, opt: Options, engine=None):
     return crc, bytes(payload)
 
 
-def decompress_block(payload, crc: int, engine=None) -> np.ndarray:
+def decompress_block(payload, crc: int, engine=None,
+                     blocksize: int = DEFAULT_BLOCKSIZE) -> np.ndarray:
     eng = engine or Engine()
-    s = eng.ans_decode(np.frombuffer(payload, dtype=np.uint8))
+    # the reference sizes all stage buffers at 1.05x the block size
+    cap = int(blocksize * 1.05) + 1024
+    s = eng.ans_decode(np.frombuffer(payload, dtype=np.uint8), cap=cap)
     s = eng.bwt_inverse(s)
-    s = eng.lz_decode(s)
+    s = eng.lz_decode(s, cap=cap)
     s = eng.lpx_decode(s)
     s = eng.filters_decode(s)
-    s = eng.lz_decode(s)
+    s = eng.lz_decode(s, cap=cap)
     out = np.asarray(s, dtype=np.uint8)
     if eng.checksum(out) != (crc & 0xFFFFFFFF):
         raise ValueError("detected corrupt block")
@@ -123,7 +126,7 @@ def decompress_stream(inp, out, engine=None):
         if rec is None:
             break
         header, payload = rec
-        data = decompress_block(payload, header.crc, engine)
+        data = decompress_block(payload, header.crc, engine, header.blocksize)
         out.write(data.tobytes())
         comp += header.csize + framing.HEADER_SIZE
         raw += data.size
