@@ -1,0 +1,147 @@
+"""Command-line interface, argument-compatible with the reference binary.
+
+    python -m jampack_tpu.cli <c|d> input output [-b# -m# -f# -t# -T] [--engine E]
+
+Flags (main.cpp:65-89 semantics): -b block size in MB (1..1000), -m match
+finder (0 dedupe / 1 hash chain / 2 suffix array), -f filters (0 off /
+1 heuristic / 2 brute force), -t threads, -T single-block low-memory decode.
+Extra: --engine numpy|native|tpu (default native).
+"""
+
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from .format import framing
+from .format.constants import DEFAULT_BLOCKSIZE
+from .runtime.pipeline import Options, compress_block, decompress_block
+
+
+def _make_engine(name: str, threads: int):
+    if name == "numpy":
+        from .runtime.pipeline import Engine
+
+        return Engine()
+    if name == "tpu":
+        from .runtime.engines import TpuEngine
+
+        return TpuEngine()
+    from .runtime.engines import NativeEngine
+
+    return NativeEngine(threads=threads)
+
+
+def _parse(argv):
+    if len(argv) < 4:
+        print(__doc__)
+        return None
+    mode, inp, outp = argv[1], argv[2], argv[3]
+    if inp == outp:
+        raise SystemExit("Refusing to write to input, change the output directory.")
+    opt = Options(blocksize=DEFAULT_BLOCKSIZE, match_finder=0, filters=1)
+    threads = 0
+    engine = "native"
+    multiblock = True
+    for arg in argv[4:]:
+        if arg.startswith("--engine"):
+            engine = arg.split("=", 1)[1] if "=" in arg else "native"
+        elif arg.startswith("-") and len(arg) >= 2:
+            p = arg[1:]
+            while p:
+                c = p[0]
+                rest = p[1:]
+                num = ""
+                while rest and (rest[0].isdigit()):
+                    num += rest[0]
+                    rest = rest[1:]
+                if c == "b" and num:
+                    opt = Options(blocksize=int(num) << 20,
+                                  match_finder=opt.match_finder,
+                                  filters=opt.filters)
+                elif c == "m" and num:
+                    opt.match_finder = int(num)
+                elif c == "f" and num:
+                    opt.filters = int(num)
+                elif c == "t" and num:
+                    threads = int(num)
+                elif c == "T":
+                    multiblock = False
+                p = rest
+    opt.threads = threads
+    opt.multiblock = multiblock
+    return mode, inp, outp, opt, engine
+
+
+def run(argv):
+    parsed = _parse(argv)
+    if parsed is None:
+        return 0
+    mode, inp, outp, opt, engine_name = parsed
+    engine = _make_engine(engine_name, opt.threads)
+    start = time.time()
+    raw = comp = 0
+    workers = max(opt.threads or 4, 1) if opt.multiblock else 1
+
+    with open(inp, "rb") as fin, open(outp, "wb") as fout:
+        if mode == "c":
+            def encode_one(blob):
+                data = np.frombuffer(blob, dtype=np.uint8)
+                return compress_block(data, opt, engine)
+
+            from collections import deque
+
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                window = deque()
+                while True:
+                    while len(window) < workers * 2:
+                        blob = fin.read(opt.blocksize)
+                        if not blob:
+                            break
+                        raw += len(blob)
+                        window.append(pool.submit(encode_one, blob))
+                    if not window:
+                        break
+                    crc, payload = window.popleft().result()
+                    framing.write_block(fout, crc, payload, opt.blocksize)
+                    comp += len(payload) + framing.HEADER_SIZE
+        elif mode == "d":
+            def decode_one(args):
+                header, payload = args
+                return decompress_block(payload, header.crc, engine,
+                                        header.blocksize)
+
+            from collections import deque
+
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                window = deque()
+                while True:
+                    while len(window) < workers * 2:
+                        rec = framing.read_block(fin)
+                        if rec is None:
+                            break
+                        comp += rec[0].csize + framing.HEADER_SIZE
+                        window.append(pool.submit(decode_one, rec))
+                    if not window:
+                        break
+                    data = window.popleft().result()
+                    fout.write(data.tobytes())
+                    raw += data.size
+        else:
+            raise SystemExit("Invalid option!")
+
+    dt = time.time() - start
+    ratio = (comp / raw * 100) if raw else 0.0
+    rate = (raw / 1e6) / dt if dt > 0 else 0.0
+    print(f"{raw / 1e6:.2f} MB <=> {comp / 1e6:.2f} MB ({ratio:.2f}%) "
+          f"@ {rate:.2f} MB/s in {dt:.2f}s [{engine.name}]")
+    return 0
+
+
+def main():
+    sys.exit(run(sys.argv))
+
+
+if __name__ == "__main__":
+    main()

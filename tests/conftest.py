@@ -4,8 +4,17 @@ import sys
 
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding logic is
 # exercised without TPU hardware; must be set before jax is imported.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+# Force the virtual CPU mesh: the axon TPU tunnel plugin (sitecustomize)
+# overrides jax_platforms via jax.config.update, so setting the env var is
+# not enough — counter-update the config before any backend initializes.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest
 
