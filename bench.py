@@ -41,7 +41,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from jampack_tpu.kernels.ibwt import _chase, _lf_map, plant_anchors
+    from jampack_tpu.kernels.ibwt import (
+        _chase_combined,
+        _combined_map,
+        plant_anchors,
+    )
     from jampack_tpu.kernels.sa import _sa_doubling
 
     mb = 1
@@ -73,13 +77,13 @@ def main():
     bwtd = jax.device_put(jnp.asarray(bwt))
     idx = jnp.asarray(anchors[0], jnp.int32)
     anc = jax.device_put(jnp.asarray(anchors))
-    lf = _lf_map(bwtd, idx, n)
-    out = _chase(bwtd, lf, anc, idx, n, units)
+    cmap = _combined_map(bwtd, idx, n)
+    out = _chase_combined(cmap, anc, n, units)
     _sync(out)
     t0 = time.time()
     for _ in range(reps):
-        lf = _lf_map(bwtd, idx, n)
-        out = _chase(bwtd, lf, anc, idx, n, units)
+        cmap = _combined_map(bwtd, idx, n)
+        out = _chase_combined(cmap, anc, n, units)
         _sync(out)
     t_inv = (time.time() - t0) / reps
 

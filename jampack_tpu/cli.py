@@ -59,7 +59,13 @@ def _parse(argv):
                 if c == "b" and num:
                     opt = Options(blocksize=int(num) << 20,
                                   match_finder=opt.match_finder,
-                                  filters=opt.filters)
+                                  filters=opt.filters,
+                                  anchor_units=opt.anchor_units,
+                                  ans_chunk=opt.ans_chunk)
+                elif c == "u" and num:
+                    opt.anchor_units = int(num)  # native JTX container
+                elif c == "c" and num:
+                    opt.ans_chunk = int(num) << 10  # ANS chunk in KB
                 elif c == "m" and num:
                     opt.match_finder = int(num)
                 elif c == "f" and num:
@@ -80,6 +86,11 @@ def run(argv):
         return 0
     mode, inp, outp, opt, engine_name = parsed
     engine = _make_engine(engine_name, opt.threads)
+    verbose = any(a in ("-v", "--verbose") for a in argv[4:])
+    if verbose:
+        from .runtime.metrics import InstrumentedEngine
+
+        engine = InstrumentedEngine(engine)
     start = time.time()
     raw = comp = 0
     workers = max(opt.threads or 4, 1) if opt.multiblock else 1
@@ -136,6 +147,9 @@ def run(argv):
     rate = (raw / 1e6) / dt if dt > 0 else 0.0
     print(f"{raw / 1e6:.2f} MB <=> {comp / 1e6:.2f} MB ({ratio:.2f}%) "
           f"@ {rate:.2f} MB/s in {dt:.2f}s [{engine.name}]")
+    if verbose:
+        print("per-stage (aggregated across threads):")
+        print(engine.metrics.report())
     return 0
 
 

@@ -15,9 +15,15 @@ Reference behavior: jampack.cpp:122-164 (CompWriteBlock/DecompReadBlock).
 import struct
 from dataclasses import dataclass
 
-from .constants import MAGIC, MIN_BLOCKSIZE, MAX_BLOCKSIZE
+from .constants import BWT_UNITS, MAGIC, MIN_BLOCKSIZE, MAX_BLOCKSIZE
+
+# Native-mode container: same framing plus a stream-parameter word (the BWT
+# anchor count).  Only this framework reads it; the default "JAM" framing
+# stays byte-compatible with the reference.
+MAGIC_NATIVE = b"JTX"
 
 _HEADER = struct.Struct("<3sIii")
+_NATIVE_EXT = struct.Struct("<i")
 HEADER_SIZE = _HEADER.size  # 15
 
 
@@ -26,10 +32,15 @@ class BlockHeader:
     crc: int
     csize: int
     blocksize: int
+    units: int = BWT_UNITS
 
 
-def write_block(out, crc: int, payload: bytes, blocksize: int) -> None:
-    out.write(_HEADER.pack(MAGIC, crc & 0xFFFFFFFF, len(payload), blocksize))
+def write_block(out, crc: int, payload: bytes, blocksize: int,
+                units: int = BWT_UNITS) -> None:
+    magic = MAGIC if units == BWT_UNITS else MAGIC_NATIVE
+    out.write(_HEADER.pack(magic, crc & 0xFFFFFFFF, len(payload), blocksize))
+    if units != BWT_UNITS:
+        out.write(_NATIVE_EXT.pack(units))
     out.write(payload)
 
 
@@ -42,14 +53,22 @@ def read_block(inp):
         raise ValueError("truncated block header")
     magic, crc, csize, blocksize = _HEADER.unpack(raw)
     if (
-        magic != MAGIC
+        magic not in (MAGIC, MAGIC_NATIVE)
         or blocksize < MIN_BLOCKSIZE
         or blocksize > MAX_BLOCKSIZE
         or csize < 0
         or csize > MAX_BLOCKSIZE
     ):
         raise ValueError("refusing to read from corrupt header")
+    units = BWT_UNITS
+    if magic == MAGIC_NATIVE:
+        ext = inp.read(_NATIVE_EXT.size)
+        if len(ext) < _NATIVE_EXT.size:
+            raise ValueError("truncated native header")
+        (units,) = _NATIVE_EXT.unpack(ext)
+        if units < 1 or units > (1 << 24):
+            raise ValueError("corrupt native anchor count")
     payload = inp.read(csize)
     if len(payload) < csize:
         raise ValueError("truncated block payload")
-    return BlockHeader(crc, csize, blocksize), payload
+    return BlockHeader(crc, csize, blocksize, units), payload

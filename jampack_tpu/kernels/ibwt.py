@@ -32,6 +32,42 @@ def _lf_map(bwt: jnp.ndarray, idx: jnp.ndarray, nlen: int) -> jnp.ndarray:
     return positions[order]
 
 
+@partial(jax.jit, static_argnames=("nlen",))
+def _combined_map(bwt: jnp.ndarray, idx: jnp.ndarray, nlen: int) -> jnp.ndarray:
+    """C[j] = (LF[j] << 8) | emitted-byte-when-stepping-through-j.
+
+    The chase emits bwt[p' - (p' >= idx)] after p' = LF[p-1]; algebraically
+    bwt_adjusted[positions[j]] == bwt[j], so the byte to emit for entry j is
+    just the value-sorted BWT — the same single stable sort yields both the
+    LF pointer and the payload byte, fusing the two chase gathers into one.
+    """
+    positions = jnp.arange(nlen, dtype=jnp.int32)
+    positions = jnp.where(positions >= idx, positions + 1, positions)
+    sorted_bwt, order = jax.lax.sort(
+        (bwt, jnp.arange(nlen, dtype=jnp.int32)), num_keys=1, is_stable=True
+    )
+    return (positions[order] << 8) | sorted_bwt.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("nlen", "units"))
+def _chase_combined(cmap: jnp.ndarray, anchors: jnp.ndarray, nlen: int,
+                    units: int) -> jnp.ndarray:
+    step = nlen // units
+    out = jnp.zeros((step, units), dtype=jnp.uint8)
+
+    def body(i, carry):
+        p, out = carry
+        c = cmap[p - 1]
+        p = c >> 8
+        out = jax.lax.dynamic_update_slice(
+            out, (c & 0xFF).astype(jnp.uint8)[None, :], (i, 0)
+        )
+        return p, out
+
+    _, out = jax.lax.fori_loop(0, step, body, (anchors, out))
+    return out.T.reshape(-1)
+
+
 @partial(jax.jit, static_argnames=("nlen", "units"))
 def _chase(bwt: jnp.ndarray, lf: jnp.ndarray, anchors: jnp.ndarray,
            idx: jnp.ndarray, nlen: int, units: int) -> jnp.ndarray:
@@ -66,8 +102,8 @@ def inverse_bwt_tpu(buf: np.ndarray, units: int = BWT_UNITS) -> np.ndarray:
     if nlen > 0:
         bwt = jnp.asarray(buf[:nlen])
         idx = jnp.asarray(anchors[0], dtype=jnp.int32)
-        lf = _lf_map(bwt, idx, nlen)
-        body = _chase(bwt, lf, jnp.asarray(anchors), idx, nlen, units)
+        cmap = _combined_map(bwt, idx, nlen)
+        body = _chase_combined(cmap, jnp.asarray(anchors), nlen, units)
         out[:nlen] = np.asarray(jax.device_get(body))
     return out
 

@@ -18,7 +18,14 @@ import numpy as np
 
 @partial(jax.jit, static_argnames=("n",))
 def _sa_doubling(t: jnp.ndarray, n: int):
-    rank = t.astype(jnp.int32)
+    # Initial key: 3 bytes packed into 27 bits with 9-bit biased fields —
+    # real bytes map to 1..256 and past-the-end to 0, so shorter suffixes
+    # sort first even when the text contains zero bytes.  Skips the k=1,2
+    # doubling rounds.
+    t32 = t.astype(jnp.int32) + 1
+    b1 = jnp.concatenate([t32[1:], jnp.zeros(1, jnp.int32)])
+    b2 = jnp.concatenate([t32[2:], jnp.zeros(2, jnp.int32)])
+    rank = (t32 << 18) | (b1 << 9) | b2
     order = jnp.arange(n, dtype=jnp.int32)
 
     def round_fn(k, rank, order):
@@ -48,7 +55,7 @@ def _sa_doubling(t: jnp.ndarray, n: int):
         return rank, order, done, k * 2
 
     rank, order, done, _ = jax.lax.while_loop(
-        cond, body, (rank, order, jnp.array(False), jnp.array(1, dtype=jnp.int32))
+        cond, body, (rank, order, jnp.array(False), jnp.array(3, dtype=jnp.int32))
     )
     return order
 

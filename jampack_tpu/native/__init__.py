@@ -46,12 +46,12 @@ def _load():
     lib.jam_checksum.restype = ctypes.c_uint32
     lib.jam_sais.argtypes = [u8p, i32p, c]
     lib.jam_sais.restype = c
-    lib.jam_bwt_forward.argtypes = [u8p, c64, u8p]
-    lib.jam_bwt_forward.restype = c64
-    lib.jam_bwt_inverse.argtypes = [u8p, c64, u8p, c]
-    lib.jam_bwt_inverse.restype = c64
-    lib.jam_ans_encode.argtypes = [u8p, c64, u8p, c64]
-    lib.jam_ans_encode.restype = c64
+    lib.jam_bwt_forward_u.argtypes = [u8p, c64, u8p, c]
+    lib.jam_bwt_forward_u.restype = c64
+    lib.jam_bwt_inverse_u.argtypes = [u8p, c64, u8p, c, c]
+    lib.jam_bwt_inverse_u.restype = c64
+    lib.jam_ans_encode_c.argtypes = [u8p, c64, u8p, c64, c]
+    lib.jam_ans_encode_c.restype = c64
     lib.jam_ans_decode.argtypes = [u8p, c64, u8p, c64, c]
     lib.jam_ans_decode.restype = c64
     lib.jam_lpx_encode.argtypes = [u8p, c64, u8p, c]
@@ -89,28 +89,28 @@ def sais(data) -> np.ndarray:
     return sa
 
 
-def bwt_forward(data) -> np.ndarray:
+def bwt_forward(data, units: int = 120) -> np.ndarray:
     a = _as_u8(data)
-    out = np.empty(a.size + 480, dtype=np.uint8)
-    n = _lib.jam_bwt_forward(a, a.size, out)
+    out = np.empty(a.size + units * 4, dtype=np.uint8)
+    n = _lib.jam_bwt_forward_u(a, a.size, out, units)
     assert n == out.size
     return out
 
 
-def bwt_inverse(data, threads: int = 0) -> np.ndarray:
+def bwt_inverse(data, threads: int = 0, units: int = 120) -> np.ndarray:
     a = _as_u8(data)
-    out = np.empty(max(a.size - 480, 0), dtype=np.uint8)
-    n = _lib.jam_bwt_inverse(a, a.size, out, threads)
+    out = np.empty(max(a.size - units * 4, 0), dtype=np.uint8)
+    n = _lib.jam_bwt_inverse_u(a, a.size, out, threads, units)
     if n < 0:
         raise ValueError("corrupt BWT stream")
     return out[:n]
 
 
-def ans_encode(data) -> np.ndarray:
+def ans_encode(data, chunk: int = 0) -> np.ndarray:
     a = _as_u8(data)
-    cap = a.size + (a.size >> 2) + 8192
+    cap = a.size + (a.size >> 2) + 8192 + 2048 * (a.size // max(chunk, 1) if chunk else 0)
     out = np.empty(cap, dtype=np.uint8)
-    n = _lib.jam_ans_encode(a, a.size, out, cap)
+    n = _lib.jam_ans_encode_c(a, a.size, out, cap, chunk)
     if n == -1:
         raise ValueError("model failure (CDF): chunk not encodable in ref-compat mode")
     if n < 0:

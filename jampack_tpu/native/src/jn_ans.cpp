@@ -420,8 +420,13 @@ static bool decode_chunk(const u8* in, u8* out, i32 olen, i32 rlen,
 
 extern "C" {
 
-int64_t jam_ans_encode(const uint8_t* in, int64_t n, uint8_t* out, int64_t cap) {
+// chunk: model-reset interval; <= kAnsChunk keeps streams decodable by the
+// reference decoder (it honors per-chunk olen from the header), smaller
+// values buy parallel-decode granularity at a small ratio cost.
+int64_t jam_ans_encode_c(const uint8_t* in, int64_t n, uint8_t* out,
+                         int64_t cap, int32_t chunk) {
   using namespace jpt;
+  if (chunk <= 0 || chunk > kAnsChunk) chunk = kAnsChunk;
   Models M;
   std::vector<u16> rlebuf(kAnsChunk);
   std::vector<u32> lows(size_t(kAnsChunk) * 2), fqs(size_t(kAnsChunk) * 2);
@@ -429,7 +434,7 @@ int64_t jam_ans_encode(const uint8_t* in, int64_t n, uint8_t* out, int64_t cap) 
   std::vector<u8> tmp(size_t(kAnsChunk) * 4 + 64);
   i64 ip = 0, op = 0;
   while (ip < n) {
-    i32 len = i32(((ip + kAnsChunk) < n) ? kAnsChunk : (n - ip));
+    i32 len = i32(((ip + chunk) < n) ? chunk : (n - ip));
     i64 w = encode_chunk(in + ip, len, out + op, cap - op, M, rlebuf, lows,
                          fqs, tmp);
     if (w < 0) return w;
@@ -437,6 +442,11 @@ int64_t jam_ans_encode(const uint8_t* in, int64_t n, uint8_t* out, int64_t cap) 
     ip += len;
   }
   return op;
+}
+
+int64_t jam_ans_encode(const uint8_t* in, int64_t n, uint8_t* out,
+                       int64_t cap) {
+  return jam_ans_encode_c(in, n, out, cap, 0);
 }
 
 int64_t jam_ans_decode(const uint8_t* in, int64_t n, uint8_t* out, int64_t cap,

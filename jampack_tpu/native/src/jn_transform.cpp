@@ -12,38 +12,44 @@ void suffix_array(const u8* t, i32* sa, i32 n);
 
 extern "C" {
 
-// out must hold n + 480 bytes
-int64_t jam_bwt_forward(const uint8_t* in, int64_t n, uint8_t* out) {
+// out must hold n + units*4 bytes; units is the anchor count (120 for
+// reference-compatible streams, larger for native streams)
+int64_t jam_bwt_forward_u(const uint8_t* in, int64_t n, uint8_t* out,
+                          int32_t units) {
   using namespace jpt;
-  i64 remainder = n % kBwtUnits;
+  i64 remainder = n % units;
   i64 nlen = n - remainder;
   memcpy(out + nlen, in + nlen, remainder);
-  i32 anchors[kBwtUnits] = {0};
+  std::vector<i32> anchors(units, 0);
   if (nlen > 0) {
     std::vector<i32> sa(nlen);
     suffix_array(in, sa.data(), i32(nlen));
-    i32 step = i32(nlen / kBwtUnits);
+    i32 step = i32(nlen / units);
     for (i64 i = 0; i < nlen; i++)
       if ((sa[i] % step) == 0) anchors[sa[i] / step] = i32(i);
     i32 idx = anchors[0];
     out[0] = in[nlen - 1];
     for (i64 i = 0; i < idx; i++) out[i + 1] = in[sa[i] - 1];
     for (i64 i = idx + 1; i < nlen; i++) out[i] = in[sa[i] - 1];
-    for (int i = 0; i < kBwtUnits; i++) anchors[i] += 1;
+    for (int i = 0; i < units; i++) anchors[i] += 1;
   }
-  memcpy(out + n, anchors, sizeof(anchors));
-  return n + i64(sizeof(anchors));
+  memcpy(out + n, anchors.data(), units * sizeof(i32));
+  return n + i64(units) * 4;
 }
 
-// in holds csize bytes = payload + 480 anchor bytes; out holds csize - 480
-int64_t jam_bwt_inverse(const uint8_t* in, int64_t csize, uint8_t* out,
-                        int32_t threads) {
+int64_t jam_bwt_forward(const uint8_t* in, int64_t n, uint8_t* out) {
+  return jam_bwt_forward_u(in, n, out, jpt::kBwtUnits);
+}
+
+// in holds csize bytes = payload + units*4 anchor bytes
+int64_t jam_bwt_inverse_u(const uint8_t* in, int64_t csize, uint8_t* out,
+                          int32_t threads, int32_t units) {
   using namespace jpt;
-  i64 n = csize - kBwtUnits * 4;
+  i64 n = csize - i64(units) * 4;
   if (n < 0) return -1;
-  i32 anchors[kBwtUnits];
-  memcpy(anchors, in + n, sizeof(anchors));
-  i64 remainder = n % kBwtUnits;
+  std::vector<i32> anchors(units);
+  memcpy(anchors.data(), in + n, units * sizeof(i32));
+  i64 remainder = n % units;
   i64 nlen = n - remainder;
   memcpy(out + nlen, in + nlen, remainder);
   if (nlen == 0) return n;
@@ -57,15 +63,14 @@ int64_t jam_bwt_inverse(const uint8_t* in, int64_t csize, uint8_t* out,
   for (i64 i = 0; i < idx; i++) map[count[in[i]]++] = i32(i);
   for (i64 i = idx; i < nlen; i++) map[count[in[i]]++] = i32(i + 1);
 
-  i64 step = nlen / kBwtUnits;
-  i32 p[kBwtUnits];
-  for (int j = 0; j < kBwtUnits; j++) p[j] = anchors[j];
+  i64 step = nlen / units;
+  std::vector<i32> p(anchors);
 
   int nthreads = threads > 0 ? threads : omp_get_max_threads();
-  if (nthreads > kBwtUnits / 4) nthreads = kBwtUnits / 4;
+  if (nthreads > units / 4) nthreads = units / 4;
   if (nthreads < 1) nthreads = 1;
-  while (kBwtUnits % (nthreads * 4) != 0) nthreads--;
-  int per = kBwtUnits / nthreads;
+  while (units % nthreads != 0) nthreads--;
+  int per = units / nthreads;
 
 #pragma omp parallel for num_threads(nthreads)
   for (int t = 0; t < nthreads; t++) {
@@ -78,5 +83,10 @@ int64_t jam_bwt_inverse(const uint8_t* in, int64_t csize, uint8_t* out,
     }
   }
   return n;
+}
+
+int64_t jam_bwt_inverse(const uint8_t* in, int64_t csize, uint8_t* out,
+                        int32_t threads) {
+  return jam_bwt_inverse_u(in, csize, out, threads, jpt::kBwtUnits);
 }
 }

@@ -48,14 +48,14 @@ class NativeEngine(Engine):
     def lpx_decode(self, data):
         return self._n.lpx_decode(data, self.threads)
 
-    def bwt_forward(self, data):
-        return self._n.bwt_forward(data)
+    def bwt_forward(self, data, units=120):
+        return self._n.bwt_forward(data, units)
 
-    def bwt_inverse(self, data):
-        return self._n.bwt_inverse(data, self.threads)
+    def bwt_inverse(self, data, units=120):
+        return self._n.bwt_inverse(data, self.threads, units)
 
-    def ans_encode(self, data):
-        return self._n.ans_encode(data)
+    def ans_encode(self, data, chunk=1 << 20):
+        return self._n.ans_encode(data, chunk)
 
     def ans_decode(self, data, cap=None):
         cap = cap or (np.asarray(data).size * 8 + (1 << 20))
@@ -65,15 +65,66 @@ class NativeEngine(Engine):
 class TpuEngine(Engine):
     name = "tpu"
 
-    def bwt_forward(self, data):
+    def filters_encode(self, data, mode: int):
+        if mode <= 0:
+            return super().filters_encode(data, 0)
+        # device-batched config search (survey P8), inline-delta transforms
+        # on device; emits the same (type,width) chunk format
+        from ..format.constants import FILTER_BLOCK_SIZE
+        from ..kernels.filters import inline_delta_tpu, pick_config_tpu
+
+        import jax.numpy as jnp
+
+        data = np.asarray(data, dtype=np.uint8)
+        out = bytearray()
+        for i in range(0, data.size, FILTER_BLOCK_SIZE):
+            chunk = data[i : i + FILTER_BLOCK_SIZE]
+            ftype, width = pick_config_tpu(chunk)
+            out.append(ftype if width else 0)
+            out.append(width)
+            if width:
+                out += np.asarray(
+                    inline_delta_tpu(jnp.asarray(chunk), width, chunk.size)
+                ).tobytes()
+            else:
+                out += chunk.tobytes()
+        return np.frombuffer(bytes(out), dtype=np.uint8)
+
+    def filters_decode(self, data):
+        from ..format.constants import FILTER_BLOCK_SIZE, FILTER_MAX_TYPES, FILTER_MAX_WIDTH
+        from ..kernels.filters import inline_undelta_tpu
+        from ..stages.filters import _unapply
+
+        import jax.numpy as jnp
+
+        data = np.asarray(data, dtype=np.uint8)
+        out = []
+        i = 0
+        n = data.size
+        while i < n:
+            ftype = int(data[i])
+            width = int(data[i + 1])
+            i += 2
+            if ftype >= FILTER_MAX_TYPES or width > FILTER_MAX_WIDTH:
+                raise ValueError("unsupported filter configuration")
+            ln = FILTER_BLOCK_SIZE if (i + FILTER_BLOCK_SIZE) < n else (n - i)
+            chunk = data[i : i + ln]
+            if ftype == 2 and width > 0:
+                out.append(np.asarray(inline_undelta_tpu(jnp.asarray(chunk), width, ln)))
+            else:
+                out.append(_unapply(chunk, ftype, width))
+            i += ln
+        return np.concatenate(out) if out else np.zeros(0, dtype=np.uint8)
+
+    def bwt_forward(self, data, units=120):
         from ..kernels.sa import forward_bwt_tpu
 
-        return forward_bwt_tpu(data)
+        return forward_bwt_tpu(data, units)
 
-    def bwt_inverse(self, data):
+    def bwt_inverse(self, data, units=120):
         from ..kernels.ibwt import inverse_bwt_tpu
 
-        return inverse_bwt_tpu(data)
+        return inverse_bwt_tpu(data, units)
 
     def ans_decode(self, data, cap=None):
         from ..kernels.rans_decode import decode_chunk_tpu

@@ -24,12 +24,17 @@ from ..stages.lz77 import lz77_decode, lz77_dedupe_encode
 
 class Options:
     def __init__(self, blocksize=DEFAULT_BLOCKSIZE, match_finder=0, filters=1,
-                 threads=1, multiblock=True):
+                 threads=1, multiblock=True, anchor_units=120,
+                 ans_chunk=1 << 20):
         self.blocksize = int(min(max(blocksize, MIN_BLOCKSIZE), MAX_BLOCKSIZE))
         self.match_finder = match_finder
         self.filters = filters
         self.threads = threads
         self.multiblock = multiblock
+        # native stream parameters; anchor_units != 120 switches the block
+        # framing to the JTX native container (framing.py)
+        self.anchor_units = anchor_units
+        self.ans_chunk = ans_chunk
 
 
 class Engine:
@@ -59,14 +64,14 @@ class Engine:
     def lpx_decode(self, data):
         return lpx_decode(data)
 
-    def bwt_forward(self, data):
-        return forward_bwt(data)
+    def bwt_forward(self, data, units=120):
+        return forward_bwt(data, units)
 
-    def bwt_inverse(self, data):
-        return inverse_bwt(data)
+    def bwt_inverse(self, data, units=120):
+        return inverse_bwt(data, units)
 
-    def ans_encode(self, data):
-        return ans_encode(data)
+    def ans_encode(self, data, chunk=1 << 20):
+        return ans_encode(data, chunk)
 
     def ans_decode(self, data, cap=None):
         return ans_decode(data)
@@ -81,18 +86,19 @@ def compress_block(data: np.ndarray, opt: Options, engine=None):
     s = eng.filters_encode(s, opt.filters)
     s = eng.lpx_encode(s)
     s = eng.lz_encode(s, opt.match_finder)
-    s = eng.bwt_forward(s)
-    payload = eng.ans_encode(s)
+    s = eng.bwt_forward(s, opt.anchor_units)
+    payload = eng.ans_encode(s, opt.ans_chunk)
     return crc, bytes(payload)
 
 
 def decompress_block(payload, crc: int, engine=None,
-                     blocksize: int = DEFAULT_BLOCKSIZE) -> np.ndarray:
+                     blocksize: int = DEFAULT_BLOCKSIZE,
+                     units: int = 120) -> np.ndarray:
     eng = engine or Engine()
     # the reference sizes all stage buffers at 1.05x the block size
     cap = int(blocksize * 1.05) + 1024
     s = eng.ans_decode(np.frombuffer(payload, dtype=np.uint8), cap=cap)
-    s = eng.bwt_inverse(s)
+    s = eng.bwt_inverse(s, units)
     s = eng.lz_decode(s, cap=cap)
     s = eng.lpx_decode(s)
     s = eng.filters_decode(s)
@@ -113,7 +119,8 @@ def compress_stream(inp, out, opt: Options = None, engine=None):
             break
         data = np.frombuffer(block, dtype=np.uint8)
         crc, payload = compress_block(data, opt, engine)
-        framing.write_block(out, crc, payload, opt.blocksize)
+        framing.write_block(out, crc, payload, opt.blocksize,
+                            opt.anchor_units)
         raw += len(block)
         comp += len(payload) + framing.HEADER_SIZE
     return raw, comp
@@ -126,7 +133,8 @@ def decompress_stream(inp, out, engine=None):
         if rec is None:
             break
         header, payload = rec
-        data = decompress_block(payload, header.crc, engine, header.blocksize)
+        data = decompress_block(payload, header.crc, engine,
+                                header.blocksize, header.units)
         out.write(data.tobytes())
         comp += header.csize + framing.HEADER_SIZE
         raw += data.size

@@ -68,12 +68,18 @@ def read_chunk_header(buf, pos: int):
     return freqs, olen, clen, rlen, pos
 
 
-def ans_encode(data: np.ndarray) -> bytes:
-    """Encode a whole stage buffer (any length) into the chunked stream."""
+def ans_encode(data: np.ndarray, chunk_size: int = ANS_CHUNK_SIZE) -> bytes:
+    """Encode a whole stage buffer (any length) into the chunked stream.
+
+    chunk_size <= 1 MB stays decodable by the reference decoder (it honors
+    per-chunk olen from the header); smaller chunks buy parallel-decode
+    granularity for a small ratio cost.
+    """
     data = np.asarray(data, dtype=np.uint8)
+    chunk_size = min(max(int(chunk_size), 1), ANS_CHUNK_SIZE)
     out = bytearray()
-    for base in range(0, data.size, ANS_CHUNK_SIZE):
-        chunk = data[base : base + ANS_CHUNK_SIZE].copy()
+    for base in range(0, data.size, chunk_size):
+        chunk = data[base : base + chunk_size].copy()
         out += ans_encode_chunk(chunk)
     return bytes(out)
 
