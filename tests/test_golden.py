@@ -1,0 +1,53 @@
+"""Golden-stream regression tests.
+
+tests/fixtures/ holds archives produced by the compiled reference binary
+(-f0/-f1/-f2/-m1/-m2 on a deterministic mixed-content input).  Every engine
+must decode them bit-exactly forever — this pins the decode contract even
+without the oracle binary present.  Additionally our default-settings
+encoder must reproduce the reference's -f1 archive byte-for-byte.
+"""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from jampack_tpu.runtime.engines import NativeEngine, TpuEngine
+from jampack_tpu.runtime.pipeline import (
+    Engine,
+    Options,
+    compress_stream,
+    decompress_stream,
+)
+
+FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+
+
+def _read(name):
+    with open(os.path.join(FIXTURES, name), "rb") as f:
+        return f.read()
+
+
+GOLDEN_INPUT = _read("golden_input.bin")
+
+
+@pytest.mark.parametrize("arc", ["golden_f0.jam", "golden_f1.jam",
+                                 "golden_f2.jam", "golden_m1.jam",
+                                 "golden_m2.jam"])
+@pytest.mark.parametrize("engine_cls", [Engine, NativeEngine, TpuEngine],
+                         ids=["numpy", "native", "tpu"])
+def test_every_engine_decodes_golden(arc, engine_cls):
+    out = io.BytesIO()
+    decompress_stream(io.BytesIO(_read(arc)), out, engine=engine_cls())
+    assert out.getvalue() == GOLDEN_INPUT
+
+
+@pytest.mark.parametrize("engine_cls", [Engine, NativeEngine],
+                         ids=["numpy", "native"])
+def test_default_encode_matches_reference_bytes(engine_cls):
+    """Default -f1 encode reproduces the reference archive byte-for-byte."""
+    arc = io.BytesIO()
+    compress_stream(io.BytesIO(GOLDEN_INPUT), arc, Options(filters=1),
+                    engine=engine_cls())
+    assert arc.getvalue() == _read("golden_f1.jam")
