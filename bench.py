@@ -1,8 +1,12 @@
 """Benchmark of record: BWT encode+decode GB/s/chip (see BASELINE.md).
 
-Runs the TPU codec path (prefix-doubling suffix sort + BWT emission forward;
-LF map + anchored chase inverse) on a synthetic text-like block,
-steady-state timed after warmup, and prints ONE JSON line:
+Runs the full TPU BWT codec cycle device-resident on one default-size block
+(8 MB, format.hpp:20) of synthetic text-like data:
+
+  forward = prefix-doubling suffix sort + BWT emission + anchor planting
+  inverse = LF map build + 120-unit anchored chase (reference-compatible)
+
+steady-state timed after a compile warmup, and prints ONE JSON line:
 
     {"metric": ..., "value": N, "unit": "GB/s/chip", "vs_baseline": N}
 
@@ -10,9 +14,11 @@ Timing is synchronized by fetching a scalar from each result (the tunneled
 TPU platform's block_until_ready is unreliable for queued work).
 
 vs_baseline compares against the reference implementation's BWT stage
-(divsufsort forward + 120-unit inverse), measured single-threaded with
-tools/ref_bwt_bench.cpp on the same synthetic text at the same block size:
-1 MB -> 0.0236 GB/s combined (fwd 15.8 MB/s, inv 46.4 MB/s).
+(divsufsort forward + 120-unit anchored inverse), measured with
+tools/ref_bwt_bench.cpp on this host's CPU on the same synthetic text at
+the same block size: 8 MB -> fwd 10.0 MB/s, inv 37.5 MB/s, combined
+0.0158 GB/s (1 MB, cache-resident: 0.0294 GB/s).  OpenMP adds nothing on
+this 1-core host; the per-chip comparison is 1 chip vs 1 core.
 """
 
 import json
@@ -21,8 +27,9 @@ import time
 
 import numpy as np
 
-# Reference combined BWT encode+decode GB/s at 1 MB (tools/ref_bwt_bench.cpp).
-REF_BWT_COMBINED_GBPS = 0.0236
+# Reference combined BWT encode+decode GB/s at 8 MB (tools/ref_bwt_bench.cpp,
+# this host, single core; re-measured 2026-08-16).
+REF_BWT_COMBINED_GBPS = 0.0158
 
 
 def textlike(n: int, seed: int = 0) -> np.ndarray:
@@ -34,63 +41,64 @@ def textlike(n: int, seed: int = 0) -> np.ndarray:
 
 def _sync(arr) -> int:
     """Force real completion (tunnel-safe sync point)."""
-    return int(np.asarray(arr[0]))
+    return int(np.asarray(arr.ravel()[0]))
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from jampack_tpu.kernels.ibwt import (
-        _chase_combined,
-        _combined_map,
-        plant_anchors,
-    )
-    from jampack_tpu.kernels.sa import _sa_doubling
+    from jampack_tpu.kernels.ibwt import _chase_combined, _combined_map
+    from jampack_tpu.kernels.sa import _bwt_emit, _sa_doubling
 
-    mb = 1
+    mb = 8
     n = (mb << 20) - ((mb << 20) % 120)
+    units = 120
+    step = n // units
     data = textlike(n)
     td = jax.device_put(jnp.asarray(data))
 
-    # ---- forward: suffix sort (warmup compiles, then timed reps)
-    sa = _sa_doubling(td, n)
-    _sync(sa)
-    reps = 3
-    t0 = time.time()
-    for _ in range(reps):
-        sa = _sa_doubling(td, n)
-        _sync(sa)
-    t_fwd = (time.time() - t0) / reps
+    # forward runs as three separately-jitted dispatches: whole-forward
+    # fusion makes XLA serialize the emit gather into the sort epilogue
+    # (measured 2x slower); the inverse fuses profitably.
+    anchors_fn = jax.jit(lambda isa: isa[: units * step : step] + 1)
 
-    # ---- inverse: LF map + anchored chase (reference-compatible 120 units)
-    sa_h = np.asarray(sa)
-    units = 120
-    anchors = plant_anchors(sa_h, n, units)
-    idx0 = int(anchors[0]) - 1
-    prev = data[(sa_h.astype(np.int64) - 1) % n]
-    bwt = np.empty(n, np.uint8)
-    bwt[0] = data[n - 1]
-    bwt[1 : idx0 + 1] = prev[:idx0]
-    bwt[idx0 + 1 :] = prev[idx0 + 1 :]
+    def forward(t):
+        sa, isa = _sa_doubling(t, n)
+        bwt = _bwt_emit(t, sa, isa[0], n)
+        return bwt, anchors_fn(isa)
 
-    bwtd = jax.device_put(jnp.asarray(bwt))
-    idx = jnp.asarray(anchors[0], jnp.int32)
-    anc = jax.device_put(jnp.asarray(anchors))
-    cmap = _combined_map(bwtd, idx, n)
-    out = _chase_combined(cmap, anc, n, units)
+    @jax.jit
+    def inverse(bwt, anchors):
+        cmap = _combined_map(bwt, anchors[0], n)
+        return _chase_combined(cmap, anchors, n, units)
+
+    # warmup compiles
+    bwt, anchors = forward(td)
+    out = inverse(bwt, anchors)
     _sync(out)
-    t0 = time.time()
-    for _ in range(reps):
-        cmap = _combined_map(bwtd, idx, n)
-        out = _chase_combined(cmap, anc, n, units)
-        _sync(out)
-    t_inv = (time.time() - t0) / reps
 
-    exact = np.array_equal(np.asarray(out), data)
+    # best-of-trials: the tunneled chip is shared, so per-process contention
+    # varies +/-50%; min time measures the hardware, not the tunnel.
+    reps, trials = 3, 3
+    t_fwd = t_inv = float("inf")
+    for _ in range(trials):
+        t0 = time.time()
+        for _ in range(reps):
+            bwt, anchors = forward(td)
+            _sync(bwt)
+            _sync(anchors)
+        t_fwd = min(t_fwd, (time.time() - t0) / reps)
+        t0 = time.time()
+        for _ in range(reps):
+            out = inverse(bwt, anchors)
+            _sync(out)
+        t_inv = min(t_inv, (time.time() - t0) / reps)
+
+    exact = np.array_equal(np.asarray(jax.device_get(out)), data)
     value = 2 * n / 1e9 / (t_fwd + t_inv)
     result = {
-        "metric": "bwt_codec_tpu_combined_1mb",
+        "metric": "bwt_codec_tpu_combined_8mb",
         "value": round(value, 5),
         "unit": "GB/s/chip",
         "vs_baseline": round(value / REF_BWT_COMBINED_GBPS, 3),

@@ -16,17 +16,52 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _pack4(t32: jnp.ndarray, off: int, n: int) -> jnp.ndarray:
+    """Big-endian pack of bytes [i+off, i+off+4) per position, 0-padded past
+    the end.  uint32 so byte order == lexicographic order for lax.sort."""
+    words = jnp.zeros(n, dtype=jnp.uint32)
+    for j in range(4):
+        s = off + j
+        if s < n:
+            b = jnp.zeros(n, dtype=jnp.uint32).at[: n - s].set(
+                t32[s:].astype(jnp.uint32)
+            )
+        else:
+            b = jnp.zeros(n, dtype=jnp.uint32)
+        words = words | (b << (8 * (3 - j)))
+    return words
+
+
 @partial(jax.jit, static_argnames=("n",))
 def _sa_doubling(t: jnp.ndarray, n: int):
-    # Initial key: 3 bytes packed into 27 bits with 9-bit biased fields —
-    # real bytes map to 1..256 and past-the-end to 0, so shorter suffixes
-    # sort first even when the text contains zero bytes.  Skips the k=1,2
-    # doubling rounds.
-    t32 = t.astype(jnp.int32) + 1
-    b1 = jnp.concatenate([t32[1:], jnp.zeros(1, jnp.int32)])
-    b2 = jnp.concatenate([t32[2:], jnp.zeros(2, jnp.int32)])
-    rank = (t32 << 18) | (b1 << 9) | b2
-    order = jnp.arange(n, dtype=jnp.int32)
+    # Initial rank: exact order of the min(8, remaining)-byte prefix, built
+    # from one 3-key sort — two packed 4-byte words plus min(remaining, 8)
+    # as the tiebreak.  Zero-padding past the end can only tie with real
+    # zero bytes (never invert), and those ties are exactly the ones the
+    # remaining-length key breaks (shorter suffix first, as the reference's
+    # rotation order requires).  Doubling then starts at k=8, saving three
+    # full sort rounds over byte-wise init.
+    t32 = t.astype(jnp.int32)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    w0 = _pack4(t32, 0, n)
+    w1 = _pack4(t32, 4, n)
+    rem = jnp.minimum(n - pos, 8).astype(jnp.uint32)
+    w0s, w1s, rems, order = jax.lax.sort(
+        (w0, w1, rem, pos), num_keys=3, is_stable=True
+    )
+    boundaries = jnp.concatenate(
+        [
+            jnp.ones(1, dtype=jnp.int32),
+            (
+                (w0s[1:] != w0s[:-1])
+                | (w1s[1:] != w1s[:-1])
+                | (rems[1:] != rems[:-1])
+            ).astype(jnp.int32),
+        ]
+    )
+    init_rank = jnp.cumsum(boundaries) - 1
+    rank = jnp.zeros(n, dtype=jnp.int32).at[order].set(init_rank)
+    init_done = init_rank[-1] == n - 1
 
     def round_fn(k, rank, order):
         # per-position keys: (rank[i], rank[i+k] or -1); two-key lexicographic
@@ -55,9 +90,11 @@ def _sa_doubling(t: jnp.ndarray, n: int):
         return rank, order, done, k * 2
 
     rank, order, done, _ = jax.lax.while_loop(
-        cond, body, (rank, order, jnp.array(False), jnp.array(3, dtype=jnp.int32))
+        cond, body, (rank, order, init_done, jnp.array(8, dtype=jnp.int32))
     )
-    return order
+    # rank is the inverse permutation (ISA) at termination — free for callers
+    # that need anchors (ISA[u*step]) or the primary index (ISA[0]).
+    return order, rank
 
 
 def suffix_array_tpu(t: np.ndarray) -> np.ndarray:
@@ -67,28 +104,35 @@ def suffix_array_tpu(t: np.ndarray) -> np.ndarray:
         return np.zeros(0, dtype=np.int32)
     if n == 1:
         return np.zeros(1, dtype=np.int32)
-    order = _sa_doubling(jnp.asarray(t), n)
+    order, _ = _sa_doubling(jnp.asarray(t), n)
     return np.asarray(jax.device_get(order), dtype=np.int32)
 
 
 @partial(jax.jit, static_argnames=("nlen",))
-def _bwt_from_sa(t: jnp.ndarray, sa: jnp.ndarray, nlen: int):
-    """Emit BWT rows with the primary-index row dropped (bwt.cpp:50-58)."""
-    idx = jnp.argmin(sa)  # position of suffix 0 (rank of whole string)
-    prev = t[(sa - 1) % nlen]
-    out = jnp.empty(nlen, dtype=jnp.uint8)
-    out = out.at[0].set(t[nlen - 1])
+def _bwt_emit(t: jnp.ndarray, sa: jnp.ndarray, idx: jnp.ndarray, nlen: int):
+    """Emit BWT rows with the primary-index row dropped (bwt.cpp:50-58).
+
+    One random gather total: out[i] = t[(sa[j]-1) mod nlen] with
+    j = i-1 for 1 <= i <= idx, j = i for i > idx, out[0] = t[nlen-1];
+    the j indirection is a shift-and-select on sa, not a second gather.
+    idx = position of suffix 0 in sa (= ISA[0], free from _sa_doubling).
+    """
     pos = jnp.arange(nlen, dtype=jnp.int32)
-    # out[i+1] = prev[i] for i < idx ; out[i] = prev[i] for i > idx
-    shifted = jnp.where(pos[1:] <= idx, prev[pos[1:] - 1], prev[pos[1:]])
-    out = out.at[1:].set(shifted)
-    return out, idx
+    sa_shift = jnp.concatenate([sa[:1], sa[:-1]])  # sa[i-1] (i=0 unused)
+    sa_j = jnp.where(pos <= idx, sa_shift, sa)
+    out = t[(sa_j - 1) % nlen]
+    out = jnp.where(pos == 0, t[nlen - 1], out)
+    return out
+
+
+def _bwt_from_sa(t: jnp.ndarray, sa: jnp.ndarray, nlen: int):
+    """Compat wrapper when only the SA is at hand: derives idx by argmin."""
+    idx = jnp.argmin(sa)
+    return _bwt_emit(t, sa, idx, nlen), idx
 
 
 def forward_bwt_tpu(data: np.ndarray, units: int = 120) -> np.ndarray:
     """Device-side forward BWT; format-identical to stages.bwt.forward_bwt."""
-    from .ibwt import plant_anchors
-
     t = np.asarray(data, dtype=np.uint8)
     n = t.size
     out = np.empty(n + units * 4, dtype=np.uint8)
@@ -96,10 +140,15 @@ def forward_bwt_tpu(data: np.ndarray, units: int = 120) -> np.ndarray:
     nlen = n - remainder
     out[nlen:n] = t[nlen:n]
     if nlen > 0:
-        sa = suffix_array_tpu(t[:nlen])
-        bwt, _ = _bwt_from_sa(jnp.asarray(t[:nlen]), jnp.asarray(sa), nlen)
+        td = jnp.asarray(t[:nlen])
+        order, isa = _sa_doubling(td, nlen)
+        bwt = _bwt_emit(td, order, isa[0], nlen)
+        step = nlen // units
+        anchors = isa[: units * step : step] + 1  # ISA[u*step]+1, bwt.cpp:44-48
         out[:nlen] = np.asarray(jax.device_get(bwt))
-        out[n:] = plant_anchors(sa, nlen, units).astype("<i4").view(np.uint8)
+        out[n:] = (
+            np.asarray(jax.device_get(anchors), dtype="<i4").view(np.uint8)
+        )
     else:
         out[n:] = 0
     return out
