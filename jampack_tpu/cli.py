@@ -5,7 +5,8 @@
 Flags (main.cpp:65-89 semantics): -b block size in MB (1..1000), -m match
 finder (0 dedupe / 1 hash chain / 2 suffix array), -f filters (0 off /
 1 heuristic / 2 brute force), -t threads, -T single-block low-memory decode.
-Extra: --engine numpy|native|tpu (default native).
+Extra: --engine numpy|native|tpu (default native); JTX stream parameters
+-u# BWT anchor units, -c# ANS chunk KB, -L# rANS lane-interleave width.
 """
 
 import sys
@@ -61,11 +62,14 @@ def _parse(argv):
                                   match_finder=opt.match_finder,
                                   filters=opt.filters,
                                   anchor_units=opt.anchor_units,
-                                  ans_chunk=opt.ans_chunk)
+                                  ans_chunk=opt.ans_chunk,
+                                  rans_lanes=opt.rans_lanes)
                 elif c == "u" and num:
                     opt.anchor_units = int(num)  # native JTX container
                 elif c == "c" and num:
                     opt.ans_chunk = int(num) << 10  # ANS chunk in KB
+                elif c == "L" and num:
+                    opt.rans_lanes = int(num)  # JTX rANS lane interleave
                 elif c == "m" and num:
                     opt.match_finder = int(num)
                 elif c == "f" and num:
@@ -115,13 +119,15 @@ def run(argv):
                     if not window:
                         break
                     crc, payload = window.popleft().result()
-                    framing.write_block(fout, crc, payload, opt.blocksize)
+                    framing.write_block(fout, crc, payload, opt.blocksize,
+                                        opt.anchor_units, opt.rans_lanes)
                     comp += len(payload) + framing.HEADER_SIZE
         elif mode == "d":
             def decode_one(args):
                 header, payload = args
                 return decompress_block(payload, header.crc, engine,
-                                        header.blocksize)
+                                        header.blocksize, header.units,
+                                        header.lanes)
 
             from collections import deque
 

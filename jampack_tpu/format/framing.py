@@ -17,13 +17,14 @@ from dataclasses import dataclass
 
 from .constants import BWT_UNITS, MAGIC, MIN_BLOCKSIZE, MAX_BLOCKSIZE
 
-# Native-mode container: same framing plus a stream-parameter word (the BWT
-# anchor count).  Only this framework reads it; the default "JAM" framing
-# stays byte-compatible with the reference.
+# Native-mode container: same framing plus two stream-parameter words (the
+# BWT anchor count and the rANS lane-interleave width).  Only this framework
+# reads it; the default "JAM" framing stays byte-compatible with the
+# reference.
 MAGIC_NATIVE = b"JTX"
 
 _HEADER = struct.Struct("<3sIii")
-_NATIVE_EXT = struct.Struct("<i")
+_NATIVE_EXT = struct.Struct("<ii")
 HEADER_SIZE = _HEADER.size  # 15
 
 
@@ -33,14 +34,16 @@ class BlockHeader:
     csize: int
     blocksize: int
     units: int = BWT_UNITS
+    lanes: int = 0
 
 
 def write_block(out, crc: int, payload: bytes, blocksize: int,
-                units: int = BWT_UNITS) -> None:
-    magic = MAGIC if units == BWT_UNITS else MAGIC_NATIVE
+                units: int = BWT_UNITS, lanes: int = 0) -> None:
+    native = units != BWT_UNITS or lanes >= 2
+    magic = MAGIC_NATIVE if native else MAGIC
     out.write(_HEADER.pack(magic, crc & 0xFFFFFFFF, len(payload), blocksize))
-    if units != BWT_UNITS:
-        out.write(_NATIVE_EXT.pack(units))
+    if native:
+        out.write(_NATIVE_EXT.pack(units, lanes))
     out.write(payload)
 
 
@@ -60,15 +63,17 @@ def read_block(inp):
         or csize > MAX_BLOCKSIZE
     ):
         raise ValueError("refusing to read from corrupt header")
-    units = BWT_UNITS
+    units, lanes = BWT_UNITS, 0
     if magic == MAGIC_NATIVE:
         ext = inp.read(_NATIVE_EXT.size)
         if len(ext) < _NATIVE_EXT.size:
             raise ValueError("truncated native header")
-        (units,) = _NATIVE_EXT.unpack(ext)
+        units, lanes = _NATIVE_EXT.unpack(ext)
         if units < 1 or units > (1 << 24):
             raise ValueError("corrupt native anchor count")
+        if lanes < 0 or lanes > (1 << 16):
+            raise ValueError("corrupt native lane count")
     payload = inp.read(csize)
     if len(payload) < csize:
         raise ValueError("truncated block payload")
-    return BlockHeader(crc, csize, blocksize, units), payload
+    return BlockHeader(crc, csize, blocksize, units, lanes), payload

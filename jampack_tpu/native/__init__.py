@@ -50,9 +50,9 @@ def _load():
     lib.jam_bwt_forward_u.restype = c64
     lib.jam_bwt_inverse_u.argtypes = [u8p, c64, u8p, c, c]
     lib.jam_bwt_inverse_u.restype = c64
-    lib.jam_ans_encode_c.argtypes = [u8p, c64, u8p, c64, c]
+    lib.jam_ans_encode_c.argtypes = [u8p, c64, u8p, c64, c, c]
     lib.jam_ans_encode_c.restype = c64
-    lib.jam_ans_decode.argtypes = [u8p, c64, u8p, c64, c]
+    lib.jam_ans_decode.argtypes = [u8p, c64, u8p, c64, c, c]
     lib.jam_ans_decode.restype = c64
     lib.jam_lpx_encode.argtypes = [u8p, c64, u8p, c]
     lib.jam_lpx_encode.restype = c64
@@ -106,11 +106,13 @@ def bwt_inverse(data, threads: int = 0, units: int = 120) -> np.ndarray:
     return out[:n]
 
 
-def ans_encode(data, chunk: int = 0) -> np.ndarray:
+def ans_encode(data, chunk: int = 0, lanes: int = 0) -> np.ndarray:
     a = _as_u8(data)
-    cap = a.size + (a.size >> 2) + 8192 + 2048 * (a.size // max(chunk, 1) if chunk else 0)
+    cap = (a.size + (a.size >> 2) + 8192
+           + 2048 * (a.size // max(chunk, 1) if chunk else 0)
+           + 24 * max(lanes, 0) * (a.size // max(chunk or (1 << 20), 1) + 1))
     out = np.empty(cap, dtype=np.uint8)
-    n = _lib.jam_ans_encode_c(a, a.size, out, cap, chunk)
+    n = _lib.jam_ans_encode_c(a, a.size, out, cap, chunk, lanes)
     if n == -1:
         raise ValueError("model failure (CDF): chunk not encodable in ref-compat mode")
     if n < 0:
@@ -118,10 +120,10 @@ def ans_encode(data, chunk: int = 0) -> np.ndarray:
     return out[:n].copy()
 
 
-def ans_decode(data, cap: int, threads: int = 0) -> np.ndarray:
+def ans_decode(data, cap: int, threads: int = 0, lanes: int = 0) -> np.ndarray:
     a = _as_u8(data)
     out = np.empty(cap, dtype=np.uint8)
-    n = _lib.jam_ans_decode(a, a.size, out, cap, threads)
+    n = _lib.jam_ans_decode(a, a.size, out, cap, threads, lanes)
     if n < 0:
         raise ValueError("invalid rANS state or corrupt chunk header")
     return out[:n].copy()

@@ -309,20 +309,14 @@ struct Models {
   }
 };
 
-// Encode one chunk; returns bytes written to out (header + payload), -1 on
-// model failure (the reference aborts in that regime), -2 if out of space.
-static i64 encode_chunk(const u8* in, i32 len, u8* out, i64 out_cap, Models& M,
-                        std::vector<u16>& rlebuf, std::vector<u32>& lows,
-                        std::vector<u32>& fqs, std::vector<u8>& tmp) {
+// Forward model pass over one symbol chain; fills (low,freq) op pairs.
+// Returns op count, or -1 on model failure (the reference aborts there).
+static i64 model_chain(const u16* syms, i32 cnt, Models& M, u32* lows,
+                       u32* fqs) {
   M.reset();
-  std::vector<u8> ranked(in, in + len);
-  i32 freq[256];
-  rank_encode(ranked.data(), freq, len);
-  i32 rlen = rle0_encode(ranked.data(), rlebuf.data(), len);
-
   i64 sp = 0;
-  for (i32 i = 0; i < rlen; i++) {
-    int sym = rlebuf[i];
+  for (i32 i = 0; i < cnt; i++) {
+    int sym = syms[i];
     int e = kSym.log2c[sym];
     int m = kSym.mant[sym];
     lows[sp] = u32(M.expm.cum[e]);
@@ -345,10 +339,15 @@ static i64 encode_chunk(const u8* in, i32 len, u8* out, i64 out_cap, Models& M,
     }
     sp += 2;
   }
+  return sp;
+}
 
+// Reverse 4-state rANS pass; writes backward from tmp_end, returns size and
+// sets *out_ptr to the payload start.
+static i64 chain_encode(const u32* lows, const u32* fqs, i64 sp, u8* tmp_end,
+                        u8** out_ptr) {
   u32 R[4] = {kRansL, kRansL, kRansL, kRansL};
-  u8* end = tmp.data() + tmp.size();
-  u8* ptr = end;
+  u8* ptr = tmp_end;
   for (i64 i = sp; i > 0; i--) {
     u32 x = R[3];
     renc_put(&x, &ptr, lows[i - 1], fqs[i - 1], kProbBits);
@@ -361,28 +360,78 @@ static i64 encode_chunk(const u8* in, i32 len, u8* out, i64 out_cap, Models& M,
   renc_flush(R[2], &ptr);
   renc_flush(R[1], &ptr);
   renc_flush(R[0], &ptr);
+  *out_ptr = ptr;
+  return tmp_end - ptr;
+}
 
-  i64 csize = end - ptr;
+// Encode one chunk; returns bytes written to out (header + payload), -1 on
+// model failure, -2 if out of space.  lanes >= 2 selects the JTX
+// wide-interleave layout: symbols dealt round-robin over `lanes`
+// independent model+rANS chains sharing one rank/freq header, payload
+// prefixed by per-lane length varints (see stages/ans.py).
+static i64 encode_chunk(const u8* in, i32 len, u8* out, i64 out_cap, Models& M,
+                        std::vector<u16>& rlebuf, std::vector<u32>& lows,
+                        std::vector<u32>& fqs, std::vector<u8>& tmp,
+                        i32 lanes) {
+  std::vector<u8> ranked(in, in + len);
+  i32 freq[256];
+  rank_encode(ranked.data(), freq, len);
+  i32 rlen = rle0_encode(ranked.data(), rlebuf.data(), len);
+
+  u8 lane_table[64 * 1024];
+  i64 lt_pos = 0;
+  u8* payload = nullptr;
+  i64 csize = 0;
+  if (lanes >= 2) {
+    // per-lane chains, packed forward into tmp via per-lane scratch tails
+    std::vector<u16> lane_syms(size_t(rlen + lanes) / size_t(lanes) + 1);
+    std::vector<u8> scratch(lane_syms.size() * 8 + 64);
+    u8* w = tmp.data();
+    for (i32 l = 0; l < lanes; l++) {
+      i32 cnt = 0;
+      for (i32 i = l; i < rlen; i += lanes) lane_syms[cnt++] = rlebuf[i];
+      i64 sp = model_chain(lane_syms.data(), cnt, M, lows.data(), fqs.data());
+      if (sp < 0) return -1;
+      u8* ptr;
+      i64 sz = chain_encode(lows.data(), fqs.data(), sp,
+                            scratch.data() + scratch.size(), &ptr);
+      lt_pos += var_encode(i32(sz), lane_table + lt_pos);
+      memcpy(w, ptr, sz);
+      w += sz;
+    }
+    payload = tmp.data();
+    csize = (w - tmp.data()) + lt_pos;
+  } else {
+    i64 sp = model_chain(rlebuf.data(), rlen, M, lows.data(), fqs.data());
+    if (sp < 0) return -1;
+    csize = chain_encode(lows.data(), fqs.data(), sp,
+                         tmp.data() + tmp.size(), &payload);
+  }
+
   u8 header[256 * 5 + 16];
   i64 pos = 0;
   for (int i = 0; i < 256; i++) pos += var_encode(freq[i], header + pos);
   pos += var_encode(len, header + pos);
   pos += var_encode(i32(csize), header + pos);
   pos += var_encode(rlen, header + pos);
-  if (pos + csize > out_cap) return -2;
+  if (pos + lt_pos + csize > out_cap) return -2;
   memcpy(out, header, pos);
-  memcpy(out + pos, ptr, csize);
+  if (lanes >= 2) {
+    memcpy(out + pos, lane_table, lt_pos);
+    memcpy(out + pos + lt_pos, payload, csize - lt_pos);
+  } else {
+    memcpy(out + pos, payload, csize);
+  }
   return pos + csize;
 }
 
 // Decode one chunk payload (after its header) into out.
-static bool decode_chunk(const u8* in, u8* out, i32 olen, i32 rlen,
-                         const i32* freq, Models& M, std::vector<u16>& rlebuf) {
+static bool decode_chain(const u8* in, u16* syms, i32 cnt, Models& M) {
   M.reset();
   const u8* ptr = in;
   u32 R[4];
   for (int i = 0; i < 4; i++) R[i] = rdec_init(&ptr);
-  for (i32 s = 0; s < rlen; s++) {
+  for (i32 s = 0; s < cnt; s++) {
     u32 x = R[0];
     u32 rng = x & (kProbScale - 1);
     int e = M.expm.range_to_sym(rng);
@@ -408,10 +457,36 @@ static bool decode_chunk(const u8* in, u8* out, i32 olen, i32 rlen,
       q.update(m);
     }
     R[0] = R[1]; R[1] = R[2]; R[2] = R[3]; R[3] = x;
-    rlebuf[s] = u16(kSym.exponent[e] + m);
+    syms[s] = u16(kSym.exponent[e] + m);
   }
-  if (R[0] != kRansL || R[1] != kRansL || R[2] != kRansL || R[3] != kRansL)
-    return false;
+  return R[0] == kRansL && R[1] == kRansL && R[2] == kRansL && R[3] == kRansL;
+}
+
+// Decode one chunk payload (after its header) into out.
+static bool decode_chunk(const u8* in, u8* out, i32 olen, i32 rlen,
+                         const i32* freq, Models& M, std::vector<u16>& rlebuf,
+                         i32 lanes, i32 clen) {
+  if (lanes >= 2) {
+    const u8* p = in;
+    std::vector<i32> lane_clens(lanes);
+    i64 table = 0, total = 0;
+    for (i32 l = 0; l < lanes; l++) {
+      int adv = var_decode(p, &lane_clens[l]);
+      p += adv;
+      table += adv;
+      total += lane_clens[l];
+    }
+    if (table + total != clen) return false;
+    std::vector<u16> lane_syms((rlen + lanes - 1) / lanes + 1);
+    for (i32 l = 0; l < lanes; l++) {
+      i32 cnt = (rlen - l + lanes - 1) / lanes;
+      if (!decode_chain(p, lane_syms.data(), cnt, M)) return false;
+      for (i32 i = 0; i < cnt; i++) rlebuf[size_t(i) * lanes + l] = lane_syms[i];
+      p += lane_clens[l];
+    }
+  } else {
+    if (!decode_chain(in, rlebuf.data(), rlen, M)) return false;
+  }
   if (!rle0_decode(rlebuf.data(), rlen, out, olen)) return false;
   return rank_decode(out, freq, olen);
 }
@@ -424,19 +499,21 @@ extern "C" {
 // reference decoder (it honors per-chunk olen from the header), smaller
 // values buy parallel-decode granularity at a small ratio cost.
 int64_t jam_ans_encode_c(const uint8_t* in, int64_t n, uint8_t* out,
-                         int64_t cap, int32_t chunk) {
+                         int64_t cap, int32_t chunk, int32_t lanes) {
   using namespace jpt;
   if (chunk <= 0 || chunk > kAnsChunk) chunk = kAnsChunk;
+  if (lanes < 2) lanes = 0;
+  if (lanes > 4096) lanes = 4096;
   Models M;
   std::vector<u16> rlebuf(kAnsChunk);
   std::vector<u32> lows(size_t(kAnsChunk) * 2), fqs(size_t(kAnsChunk) * 2);
-  // 4 bytes/encode-op worst case + flush: size the scratch for the true bound
-  std::vector<u8> tmp(size_t(kAnsChunk) * 4 + 64);
+  // 4 bytes/encode-op worst case + per-lane flushes
+  std::vector<u8> tmp(size_t(kAnsChunk) * 4 + 64 + size_t(lanes) * 16);
   i64 ip = 0, op = 0;
   while (ip < n) {
     i32 len = i32(((ip + chunk) < n) ? chunk : (n - ip));
     i64 w = encode_chunk(in + ip, len, out + op, cap - op, M, rlebuf, lows,
-                         fqs, tmp);
+                         fqs, tmp, lanes);
     if (w < 0) return w;
     op += w;
     ip += len;
@@ -446,11 +523,11 @@ int64_t jam_ans_encode_c(const uint8_t* in, int64_t n, uint8_t* out,
 
 int64_t jam_ans_encode(const uint8_t* in, int64_t n, uint8_t* out,
                        int64_t cap) {
-  return jam_ans_encode_c(in, n, out, cap, 0);
+  return jam_ans_encode_c(in, n, out, cap, 0, 0);
 }
 
 int64_t jam_ans_decode(const uint8_t* in, int64_t n, uint8_t* out, int64_t cap,
-                       int32_t threads) {
+                       int32_t threads, int32_t lanes) {
   using namespace jpt;
   // scan headers first to slice chunks for parallel decode (ans.cpp:243-265)
   struct Chunk { i64 in_off, out_off; i32 olen, clen, rlen; i32 freq[256]; };
@@ -480,7 +557,7 @@ int64_t jam_ans_decode(const uint8_t* in, int64_t n, uint8_t* out, int64_t cap,
     for (i64 k = 0; k < i64(chunks.size()); k++) {
       const Chunk& c = chunks[k];
       if (!decode_chunk(in + c.in_off, out + c.out_off, c.olen, c.rlen, c.freq,
-                        M, rlebuf)) {
+                        M, rlebuf, lanes >= 2 ? lanes : 0, c.clen)) {
 #pragma omp atomic write
         ok = false;
       }

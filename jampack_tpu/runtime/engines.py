@@ -54,12 +54,12 @@ class NativeEngine(Engine):
     def bwt_inverse(self, data, units=120):
         return self._n.bwt_inverse(data, self.threads, units)
 
-    def ans_encode(self, data, chunk=1 << 20):
-        return self._n.ans_encode(data, chunk)
+    def ans_encode(self, data, chunk=1 << 20, lanes=0):
+        return self._n.ans_encode(data, chunk, lanes)
 
-    def ans_decode(self, data, cap=None):
+    def ans_decode(self, data, cap=None, lanes=0):
         cap = cap or (np.asarray(data).size * 8 + (1 << 20))
-        return self._n.ans_decode(data, cap, self.threads)
+        return self._n.ans_decode(data, cap, self.threads, lanes)
 
 
 class TpuEngine(Engine):
@@ -126,8 +126,9 @@ class TpuEngine(Engine):
 
         return inverse_bwt_tpu(data, units)
 
-    def ans_decode(self, data, cap=None):
-        from ..kernels.rans_decode import decode_chunk_tpu
+    def ans_decode(self, data, cap=None, lanes=0):
+        from ..kernels.rans_decode import decode_chunk_tpu, decode_lanes_tpu
+        from ..stages.ans import interleave_lanes, lane_rlen, read_lane_table
 
         buf = np.asarray(data, dtype=np.uint8)
         view = memoryview(buf.tobytes())
@@ -135,7 +136,20 @@ class TpuEngine(Engine):
         parts = []
         while pos < len(view):
             freqs, olen, clen, rlen, pos = read_chunk_header(view, pos)
-            syms = decode_chunk_tpu(buf[pos : pos + clen], rlen)
+            if lanes >= 2:
+                lane_clens, p = read_lane_table(view, pos, rlen, lanes)
+                starts = np.cumsum([p] + lane_clens[:-1]).astype(np.int32)
+                rlens = np.asarray(
+                    [lane_rlen(rlen, lanes, l) for l in range(lanes)],
+                    dtype=np.int32,
+                )
+                lane_syms = decode_lanes_tpu(buf, starts, rlens)
+                syms = interleave_lanes(
+                    [lane_syms[l, : rlens[l]] for l in range(lanes)],
+                    rlen, lanes,
+                )
+            else:
+                syms = decode_chunk_tpu(buf[pos : pos + clen], rlen)
             ranked = rle0_decode(syms, olen)
             parts.append(rank_decode(ranked, freqs))
             pos += clen

@@ -25,16 +25,17 @@ from ..stages.lz77 import lz77_decode, lz77_dedupe_encode
 class Options:
     def __init__(self, blocksize=DEFAULT_BLOCKSIZE, match_finder=0, filters=1,
                  threads=1, multiblock=True, anchor_units=120,
-                 ans_chunk=1 << 20):
+                 ans_chunk=1 << 20, rans_lanes=0):
         self.blocksize = int(min(max(blocksize, MIN_BLOCKSIZE), MAX_BLOCKSIZE))
         self.match_finder = match_finder
         self.filters = filters
         self.threads = threads
         self.multiblock = multiblock
-        # native stream parameters; anchor_units != 120 switches the block
-        # framing to the JTX native container (framing.py)
+        # native stream parameters; anchor_units != 120 or rans_lanes >= 2
+        # switches the block framing to the JTX native container (framing.py)
         self.anchor_units = anchor_units
         self.ans_chunk = ans_chunk
+        self.rans_lanes = rans_lanes
 
 
 class Engine:
@@ -70,11 +71,11 @@ class Engine:
     def bwt_inverse(self, data, units=120):
         return inverse_bwt(data, units)
 
-    def ans_encode(self, data, chunk=1 << 20):
-        return ans_encode(data, chunk)
+    def ans_encode(self, data, chunk=1 << 20, lanes=0):
+        return ans_encode(data, chunk, lanes)
 
-    def ans_decode(self, data, cap=None):
-        return ans_decode(data)
+    def ans_decode(self, data, cap=None, lanes=0):
+        return ans_decode(data, lanes=lanes)
 
 
 def compress_block(data: np.ndarray, opt: Options, engine=None):
@@ -87,17 +88,18 @@ def compress_block(data: np.ndarray, opt: Options, engine=None):
     s = eng.lpx_encode(s)
     s = eng.lz_encode(s, opt.match_finder)
     s = eng.bwt_forward(s, opt.anchor_units)
-    payload = eng.ans_encode(s, opt.ans_chunk)
+    payload = eng.ans_encode(s, opt.ans_chunk, opt.rans_lanes)
     return crc, bytes(payload)
 
 
 def decompress_block(payload, crc: int, engine=None,
                      blocksize: int = DEFAULT_BLOCKSIZE,
-                     units: int = 120) -> np.ndarray:
+                     units: int = 120, lanes: int = 0) -> np.ndarray:
     eng = engine or Engine()
     # the reference sizes all stage buffers at 1.05x the block size
     cap = int(blocksize * 1.05) + 1024
-    s = eng.ans_decode(np.frombuffer(payload, dtype=np.uint8), cap=cap)
+    s = eng.ans_decode(np.frombuffer(payload, dtype=np.uint8), cap=cap,
+                       lanes=lanes)
     s = eng.bwt_inverse(s, units)
     s = eng.lz_decode(s, cap=cap)
     s = eng.lpx_decode(s)
@@ -120,7 +122,7 @@ def compress_stream(inp, out, opt: Options = None, engine=None):
         data = np.frombuffer(block, dtype=np.uint8)
         crc, payload = compress_block(data, opt, engine)
         framing.write_block(out, crc, payload, opt.blocksize,
-                            opt.anchor_units)
+                            opt.anchor_units, opt.rans_lanes)
         raw += len(block)
         comp += len(payload) + framing.HEADER_SIZE
     return raw, comp
@@ -134,7 +136,7 @@ def decompress_stream(inp, out, engine=None):
             break
         header, payload = rec
         data = decompress_block(payload, header.crc, engine,
-                                header.blocksize, header.units)
+                                header.blocksize, header.units, header.lanes)
         out.write(data.tobytes())
         comp += header.csize + framing.HEADER_SIZE
         raw += data.size

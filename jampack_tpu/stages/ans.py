@@ -68,34 +68,47 @@ def read_chunk_header(buf, pos: int):
     return freqs, olen, clen, rlen, pos
 
 
-def ans_encode(data: np.ndarray, chunk_size: int = ANS_CHUNK_SIZE) -> bytes:
+def lane_rlen(rlen: int, lanes: int, lane: int) -> int:
+    """Symbols owned by `lane` when rlen symbols are dealt round-robin."""
+    return (rlen - lane + lanes - 1) // lanes
+
+
+def ans_encode(data: np.ndarray, chunk_size: int = ANS_CHUNK_SIZE,
+               lanes: int = 0) -> bytes:
     """Encode a whole stage buffer (any length) into the chunked stream.
 
     chunk_size <= 1 MB stays decodable by the reference decoder (it honors
     per-chunk olen from the header); smaller chunks buy parallel-decode
     granularity for a small ratio cost.
+
+    lanes >= 2 selects the JTX wide-interleave chunk layout: the chunk's
+    RLE0 symbols are dealt round-robin across `lanes` independent model+rANS
+    chains that share one rank/freq header.  This is the TPU generalization
+    of the reference's 4-state ILP interleave (rans_byte.hpp:27-39, P6 of
+    the survey): chains decode in lockstep as one vectorized loop, so the
+    intra-chunk parallel width becomes a stream parameter — at a far lower
+    header cost than shrinking chunks.  Not reference-decodable.
     """
     data = np.asarray(data, dtype=np.uint8)
     chunk_size = min(max(int(chunk_size), 1), ANS_CHUNK_SIZE)
     out = bytearray()
     for base in range(0, data.size, chunk_size):
         chunk = data[base : base + chunk_size].copy()
-        out += ans_encode_chunk(chunk)
+        out += ans_encode_chunk(chunk, lanes)
     return bytes(out)
 
 
-def ans_encode_chunk(chunk: np.ndarray) -> bytes:
+def encode_pairs(syms) -> bytes:
+    """Model one symbol chain and encode it through 4 interleaved rANS
+    states (ans.cpp:152-208): the per-chain payload codec shared by the
+    reference layout (1 chain/chunk) and JTX lanes (L chains/chunk)."""
     exp_model, mant = _make_models()
     exp_model.reset()
     for m in mant:
         m.reset()
 
-    olen = int(chunk.size)
-    ranked, freqs = rank_encode(chunk)
-    syms = rle0_encode(ranked)
+    syms = np.asarray(syms, dtype=np.uint16)
     rlen = int(syms.size)
-
-    # Forward pass: collect (low, freq) pairs.
     lows = np.empty(rlen * 2, dtype=np.int64)
     fqs = np.empty(rlen * 2, dtype=np.int64)
     sptr = 0
@@ -127,19 +140,32 @@ def ans_encode_chunk(chunk: np.ndarray) -> bytes:
     enc.flush(R[2])
     enc.flush(R[1])
     enc.flush(R[0])
-    payload = enc.getvalue()
+    return enc.getvalue()
 
+
+def ans_encode_chunk(chunk: np.ndarray, lanes: int = 0) -> bytes:
+    olen = int(chunk.size)
+    ranked, freqs = rank_encode(chunk)
+    syms = rle0_encode(ranked)
+    rlen = int(syms.size)
+
+    if lanes >= 2:
+        payloads = [encode_pairs(syms[l::lanes]) for l in range(lanes)]
+        lane_table = b"".join(encode_leb128(len(p)) for p in payloads)
+        payload = lane_table + b"".join(payloads)
+    else:
+        payload = encode_pairs(syms)
     return write_chunk_header(freqs, olen, len(payload), rlen) + payload
 
 
-def ans_decode(buf, expect_size=None) -> np.ndarray:
+def ans_decode(buf, expect_size=None, lanes: int = 0) -> np.ndarray:
     """Decode a full chunked stream back to the stage buffer."""
     buf = memoryview(buf)
     pos = 0
     parts = []
     while pos < len(buf):
         freqs, olen, clen, rlen, pos = read_chunk_header(buf, pos)
-        parts.append(ans_decode_chunk(buf, pos, freqs, olen, clen, rlen))
+        parts.append(ans_decode_chunk(buf, pos, freqs, olen, clen, rlen, lanes))
         pos += clen
     if parts:
         out = np.concatenate(parts)
@@ -150,7 +176,8 @@ def ans_decode(buf, expect_size=None) -> np.ndarray:
     return out
 
 
-def ans_decode_chunk(buf, pos, freqs, olen, clen, rlen) -> np.ndarray:
+def decode_pairs(buf, pos, rlen) -> np.ndarray:
+    """Decode one 4-state model chain of rlen symbols (ans.cpp:30-111)."""
     exp_model, mant = _make_models()
     exp_model.reset()
     for m in mant:
@@ -180,6 +207,37 @@ def ans_decode_chunk(buf, pos, freqs, olen, clen, rlen) -> np.ndarray:
 
     if any(r != RANS_BYTE_L for r in R):
         raise ValueError("invalid rANS state")
+    return syms
+
+
+def read_lane_table(buf, pos: int, rlen: int, lanes: int):
+    """Per-lane payload lengths prefixed to a JTX wide-interleave payload."""
+    lane_clens = []
+    for _ in range(lanes):
+        c, pos = decode_leb128(buf, pos)
+        lane_clens.append(c)
+    return lane_clens, pos
+
+
+def interleave_lanes(lane_syms, rlen: int, lanes: int) -> np.ndarray:
+    syms = np.empty(rlen, dtype=np.uint16)
+    for l in range(lanes):
+        syms[l::lanes] = lane_syms[l]
+    return syms
+
+
+def ans_decode_chunk(buf, pos, freqs, olen, clen, rlen, lanes: int = 0) -> np.ndarray:
+    if lanes >= 2:
+        lane_clens, p = read_lane_table(buf, pos, rlen, lanes)
+        if sum(lane_clens) != clen - (p - pos):
+            raise ValueError("corrupt lane table")
+        lane_syms = []
+        for l in range(lanes):
+            lane_syms.append(decode_pairs(buf, p, lane_rlen(rlen, lanes, l)))
+            p += lane_clens[l]
+        syms = interleave_lanes(lane_syms, rlen, lanes)
+    else:
+        syms = decode_pairs(buf, pos, rlen)
 
     ranked = rle0_decode(syms, olen)
     return rank_decode(ranked, freqs)

@@ -62,3 +62,69 @@ def test_jtx_magic_only_for_native_units():
     compress_stream(io.BytesIO(DATA), arc2, Options(filters=0),
                     engine=NativeEngine())
     assert arc2.getvalue()[:3] == b"JAM"
+
+
+# ---- JTX wide-interleave rANS lanes (survey P6 generalization) ----
+
+@pytest.mark.parametrize("lanes", [2, 8, 32])
+def test_lanes_roundtrip_spec(lanes):
+    from jampack_tpu.stages.ans import ans_decode, ans_encode
+
+    data = np.frombuffer(DATA[:50000], dtype=np.uint8)
+    blob = ans_encode(data, 1 << 20, lanes)
+    assert np.array_equal(ans_decode(blob, lanes=lanes), data)
+
+
+@pytest.mark.parametrize("lanes", [2, 16])
+def test_lanes_native_matches_spec(lanes):
+    from jampack_tpu import native
+    from jampack_tpu.stages.ans import ans_decode, ans_encode
+
+    data = np.frombuffer(DATA[:30000], dtype=np.uint8)
+    spec_blob = ans_encode(data, 1 << 20, lanes)
+    nat_blob = native.ans_encode(data, 0, lanes)
+    assert bytes(nat_blob) == spec_blob
+    out = native.ans_decode(np.frombuffer(spec_blob, dtype=np.uint8),
+                            data.size + 1024, 0, lanes)
+    assert np.array_equal(out, data)
+
+
+def test_lanes_tpu_decode_matches_spec():
+    from jampack_tpu.runtime.engines import TpuEngine
+    from jampack_tpu.stages.ans import ans_encode
+
+    data = np.frombuffer(DATA[:30000], dtype=np.uint8)
+    blob = ans_encode(data, 1 << 20, lanes=8)
+    out = TpuEngine().ans_decode(np.frombuffer(blob, dtype=np.uint8), lanes=8)
+    assert np.array_equal(out, data)
+
+
+@pytest.mark.parametrize("lanes", [4, 64])
+def test_lanes_stream_roundtrip_cross_engine(lanes):
+    opt = Options(filters=0, rans_lanes=lanes)
+    arc = io.BytesIO()
+    compress_stream(io.BytesIO(DATA), arc, opt, engine=NativeEngine())
+    assert arc.getvalue()[:3] == b"JTX"
+    for engine in (Engine(), NativeEngine(), TpuEngine()):
+        back = io.BytesIO()
+        decompress_stream(io.BytesIO(arc.getvalue()), back, engine=engine)
+        assert back.getvalue() == DATA
+
+
+def test_lanes_with_units_and_chunks():
+    opt = Options(filters=1, anchor_units=960, ans_chunk=128 << 10,
+                  rans_lanes=16)
+    arc = io.BytesIO()
+    compress_stream(io.BytesIO(DATA), arc, opt, engine=NativeEngine())
+    back = io.BytesIO()
+    decompress_stream(io.BytesIO(arc.getvalue()), back, engine=NativeEngine())
+    assert back.getvalue() == DATA
+
+
+def test_lanes_edge_sizes():
+    from jampack_tpu.stages.ans import ans_decode, ans_encode
+
+    for n in (0, 1, 2, 7):
+        data = np.frombuffer(DATA[:n], dtype=np.uint8)
+        blob = ans_encode(data, 1 << 20, lanes=8)
+        assert np.array_equal(ans_decode(blob, lanes=8), data)
