@@ -4,7 +4,8 @@
 
 Flags (main.cpp:65-89 semantics): -b block size in MB (1..1000), -m match
 finder (0 dedupe / 1 hash chain / 2 suffix array), -f filters (0 off /
-1 heuristic / 2 brute force), -t threads, -T single-block low-memory decode.
+1 heuristic / 2 brute force / 3 TPU device search), -t threads, -T
+single-block low-memory decode.
 Extra: --engine numpy|native|tpu (default native); JTX stream parameters
 -u# BWT anchor units, -c# ANS chunk KB, -L# rANS lane-interleave width.
 """

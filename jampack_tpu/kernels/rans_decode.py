@@ -6,10 +6,12 @@ symbol), so the kernel is a `fori_loop` whose body does alphabet-wide
 symbol lookups, and mask-unrolled byte renormalization.  Throughput comes
 from chunk parallelism (P5/P6 of the survey): many chunks decode
 concurrently via `jax.vmap` across the padded chunk batch — thousands per
-pod once blocks are sharded.
+pod once blocks are sharded — and, in JTX wide-interleave streams, across
+the lanes inside each chunk.
 
 Bit-exact contract: identical int32 semantics to stages/models.py (and thus
-to the reference's model.cpp / rans_byte.hpp / ans.cpp decode loop).
+to the reference's model.cpp / rans_byte.hpp / ans.cpp decode loop).  The
+model-state machinery is shared with the encode kernel (rans_common.py).
 """
 
 from functools import partial
@@ -19,59 +21,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..format.constants import (
-    MAX_MODELS,
     MODEL_SWITCH_THRESHOLD,
     PROB_BITS,
     PROB_SCALE,
     RANS_BYTE_L,
 )
-from ..format.tables import EXPONENT, MODEL_ALPHABET
-
-RATE = 5
-UPDATE_RATE = 64 << 10
-_QALPHA = 129  # widest quasi alphabet; all quasi state padded to this
-_NQ = MAX_MODELS - MODEL_SWITCH_THRESHOLD  # 6 quasi models (e = 2..7)
-_QALPHAS = np.asarray(MODEL_ALPHABET[MODEL_SWITCH_THRESHOLD:], dtype=np.int32)
-
-
-def _adaptive_mix(alpha: int) -> np.ndarray:
-    rows = np.ones((alpha, alpha + 1), dtype=np.int64)
-    rows[:, 0] = 0
-    for sym in range(alpha):
-        rows[sym, sym + 1] += PROB_SCALE - alpha
-    return np.cumsum(rows, axis=1).astype(np.int32)
-
-
-def _adaptive_init(alpha: int) -> np.ndarray:
-    scale = PROB_SCALE // alpha
-    freqs = np.full(alpha, scale, dtype=np.int64)
-    freqs[0] += PROB_SCALE - scale * alpha
-    return np.concatenate([[0], np.cumsum(freqs)]).astype(np.int32)
-
-
-def _quasi_init_cum() -> np.ndarray:
-    """Initial padded cum tables for the 6 quasi models, padding = huge."""
-    out = np.full((_NQ, _QALPHA + 1), 1 << 30, dtype=np.int32)
-    for i, alpha in enumerate(_QALPHAS):
-        scale = PROB_SCALE // int(alpha)
-        freqs = np.full(alpha, scale, dtype=np.int64)
-        freqs[0] += PROB_SCALE - scale * int(alpha)
-        out[i, : alpha + 1] = np.concatenate([[0], np.cumsum(freqs)])
-    return out
-
-
-# Constant tables (device-resident after first jit).
-_EXP_MIX = _adaptive_mix(MAX_MODELS)
-_EXP_INIT = _adaptive_init(MAX_MODELS)
-_MANT_ADAPT_MIX = np.stack([
-    np.pad(_adaptive_mix(int(MODEL_ALPHABET[e])), ((0, 0), (0, 0)))
-    for e in range(MODEL_SWITCH_THRESHOLD)
-])  # alphas are both 2 -> shape (2, 2, 3)
-_MANT_ADAPT_INIT = np.stack([
-    _adaptive_init(int(MODEL_ALPHABET[e])) for e in range(MODEL_SWITCH_THRESHOLD)
-])
-_QUASI_INIT_CUM = _quasi_init_cum()
-_QMASK = (np.arange(_QALPHA)[None, :] < _QALPHAS[:, None])  # (6, 129) valid lanes
+from ..format.tables import EXPONENT
+from .rans_common import NQ, exp_find, exp_lookup, exp_update, init_bank, \
+    mant_find, mant_lookup, mant_update
 
 
 def _renorm(x, ptr, buf):
@@ -86,7 +43,7 @@ def _renorm(x, ptr, buf):
 @partial(jax.jit, static_argnames=("max_rlen",))
 def decode_chunk_syms(buf: jnp.ndarray, start: jnp.ndarray, rlen: jnp.ndarray,
                       max_rlen: int) -> jnp.ndarray:
-    """Decode the structured 16-bit symbols of one chunk.
+    """Decode the structured 16-bit symbols of one chunk chain.
 
     buf: uint8 array containing the rANS payload at offset `start`
     rlen: number of symbols; max_rlen: static padded loop bound.
@@ -102,38 +59,21 @@ def decode_chunk_syms(buf: jnp.ndarray, start: jnp.ndarray, rlen: jnp.ndarray,
     R = jnp.stack([read32(start + 4 * i) for i in range(4)]).astype(jnp.uint32)
     ptr = start + 16
 
-    exp_cum = jnp.asarray(_EXP_INIT)
-    exp_mix = jnp.asarray(_EXP_MIX)
-    ma_cum = jnp.asarray(_MANT_ADAPT_INIT)
-    ma_mix = jnp.asarray(_MANT_ADAPT_MIX)
-    q_cum = jnp.asarray(_QUASI_INIT_CUM)
-    q_freqs = jnp.zeros((_NQ, _QALPHA), dtype=jnp.int32)
-    q_seen = jnp.zeros(_NQ, dtype=jnp.int32)
-    q_exp = jnp.full(_NQ, 8, dtype=jnp.int32)
-    q_alphas = jnp.asarray(_QALPHAS)
-    q_mask = jnp.asarray(_QMASK)
+    bank = init_bank()
     exponent = jnp.asarray(EXPONENT.astype(np.int32))
-
     syms = jnp.zeros(max_rlen, dtype=jnp.uint16)
 
-    def adaptive_update(cum, mix_row):
-        upd = cum + ((mix_row - cum) >> RATE)
-        n = cum.shape[0]
-        keep = (jnp.arange(n) == 0) | (jnp.arange(n) == n - 1)
-        return jnp.where(keep, cum, upd)
-
     def body(i, carry):
-        R, ptr, exp_cum, ma_cum, q_cum, q_freqs, q_seen, q_exp, syms = carry
+        R, ptr, bank, syms = carry
 
         # ---- exponent symbol (adaptive, alpha=8)
         x = R[0]
         rng = (x & mask16).astype(jnp.int32)
-        e = jnp.searchsorted(exp_cum, rng, side="right").astype(jnp.int32) - 1
-        lo = exp_cum[e]
-        fq = exp_cum[e + 1] - lo
+        e = exp_find(bank, rng)
+        lo, fq = exp_lookup(bank, e)
         x = fq.astype(jnp.uint32) * (x >> PROB_BITS) + (x & mask16) - lo.astype(jnp.uint32)
         x, ptr = _renorm(x, ptr, buf)
-        exp_cum = adaptive_update(exp_cum, exp_mix[e])
+        bank = exp_update(bank, e)
         R = jnp.stack([R[1], R[2], R[3], x])
 
         # ---- mantissa symbol
@@ -141,71 +81,22 @@ def decode_chunk_syms(buf: jnp.ndarray, start: jnp.ndarray, rlen: jnp.ndarray,
         rng = (x & mask16).astype(jnp.int32)
         is_adaptive = e < MODEL_SWITCH_THRESHOLD
         ei = jnp.clip(e, 0, MODEL_SWITCH_THRESHOLD - 1)
-        qi = jnp.clip(e - MODEL_SWITCH_THRESHOLD, 0, _NQ - 1)
+        qi = jnp.clip(e - MODEL_SWITCH_THRESHOLD, 0, NQ - 1)
 
-        m_a = jnp.searchsorted(ma_cum[ei], rng, side="right").astype(jnp.int32) - 1
-        m_q = jnp.searchsorted(q_cum[qi], rng, side="right").astype(jnp.int32) - 1
-        m = jnp.where(is_adaptive, m_a, m_q)
-        lo = jnp.where(is_adaptive, ma_cum[ei, m_a], q_cum[qi, m_q])
-        hi = jnp.where(is_adaptive, ma_cum[ei, m_a + 1], q_cum[qi, m_q + 1])
-        fq = hi - lo
+        m_a, m_q, m = mant_find(bank, ei, qi, is_adaptive, rng)
+        lo, fq = mant_lookup(bank, ei, qi, is_adaptive, m)
         x = fq.astype(jnp.uint32) * (x >> PROB_BITS) + (x & mask16) - lo.astype(jnp.uint32)
         x, ptr = _renorm(x, ptr, buf)
         R = jnp.stack([R[1], R[2], R[3], x])
 
-        # ---- adaptive mantissa update (masked when quasi)
-        new_ma = adaptive_update(ma_cum[ei], ma_mix[ei, jnp.clip(m_a, 0, 1)])
-        ma_cum = ma_cum.at[ei].set(jnp.where(is_adaptive, new_ma, ma_cum[ei]))
-
-        # ---- quasi mantissa update (masked when adaptive)
-        qf = q_freqs[qi].at[m_q].add(jnp.where(is_adaptive, 0, PROB_BITS))
-        qs = q_seen[qi] + jnp.where(is_adaptive, 0, 1)
-        alpha = q_alphas[qi]
-        lanes = q_mask[qi]
-
-        def rescale(args):
-            qf, _qcum, qexp = args
-            total = jnp.sum(qf * lanes)
-            # smallest log with (total >> log) + alpha <= PROB_SCALE
-            logv = jax.lax.while_loop(
-                lambda lg: ((total >> lg) + alpha) > PROB_SCALE,
-                lambda lg: lg + 1,
-                jnp.int32(0),
-            )
-            f = jnp.where(lanes, (qf >> logv) + 1, 0)
-            t2 = jnp.sum(f)
-            # C-int32 wrap semantics of ProbScale * f / total (model.cpp:183):
-            # int32 shift wraps exactly like C, and lax.div truncates toward 0
-            prod = f << PROB_BITS
-            q = jax.lax.div(prod, t2)
-            q = q.at[0].add(PROB_SCALE - jnp.sum(q * lanes))
-            q = jnp.where(lanes, q, 0)
-            cum = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(q)])
-            cum = jnp.where(
-                jnp.arange(_QALPHA + 1) <= alpha, cum, jnp.int32(1 << 30)
-            )
-            new_exp = jnp.where(qexp < UPDATE_RATE, qexp << 1, UPDATE_RATE)
-            return jnp.zeros_like(qf), cum, jnp.int32(0), new_exp
-
-        def no_rescale(args):
-            qf, qcum, qexp = args
-            return qf, qcum, qs, qexp
-
-        do_rescale = jnp.logical_and(jnp.logical_not(is_adaptive), qs > q_exp[qi])
-        qf2, qcum2, qs2, qexp2 = jax.lax.cond(
-            do_rescale, rescale, no_rescale, (qf, q_cum[qi], q_exp[qi])
-        )
-        q_freqs = q_freqs.at[qi].set(qf2)
-        q_cum = q_cum.at[qi].set(qcum2)
-        q_seen = q_seen.at[qi].set(qs2)
-        q_exp = q_exp.at[qi].set(qexp2)
+        bank = mant_update(bank, ei, qi, is_adaptive, m_a, m_q)
 
         sym = (exponent[e] + m).astype(jnp.uint16)
         syms = syms.at[i].set(sym)
-        return R, ptr, exp_cum, ma_cum, q_cum, q_freqs, q_seen, q_exp, syms
+        return R, ptr, bank, syms
 
-    init = (R, ptr, exp_cum, ma_cum, q_cum, q_freqs, q_seen, q_exp, syms)
-    R, ptr, *_, syms = jax.lax.fori_loop(0, rlen, body, init)
+    init = (R, ptr, bank, syms)
+    R, ptr, _, syms = jax.lax.fori_loop(0, rlen, body, init)
     ok = jnp.all(R == jnp.uint32(RANS_BYTE_L))
     return syms, ok
 

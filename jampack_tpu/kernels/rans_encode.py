@@ -1,0 +1,172 @@
+"""TPU structured-rANS chunk encoder.
+
+The encode side of ans.cpp:113-219, on device: a forward model pass turns
+the chunk's RLE0 symbols into (low, freq) op pairs (same bit-exact model
+bank as the decoder, rans_common.py), then a reverse pass pushes the pairs
+through 4 interleaved rANS states (rans_byte.hpp:83-110 semantics) emitting
+renormalization bytes backward into a fixed-size buffer.
+
+Like decode, one chain is irreducibly serial; encode throughput comes from
+vmapping chains — the chunks of a block in the reference layout, and
+additionally the lanes inside each chunk in JTX wide-interleave streams.
+
+Variable-length output on fixed shapes (survey §7 hard part 3): each op
+emits 0-3 bytes, written with drop-mode scatters at a descending pointer;
+the host slices [ptr, end) afterwards.  Worst-case payload is bounded by
+2 bytes/op amortized (16 bits of state growth per op) + 16 flush bytes.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..format.constants import (
+    MODEL_SWITCH_THRESHOLD,
+    PROB_BITS,
+    RANS_BYTE_L,
+)
+from ..format.tables import LOG, MANTISSA
+from .rans_common import NQ, exp_lookup, exp_update, init_bank, mant_lookup, \
+    mant_update
+
+
+@partial(jax.jit, static_argnames=("max_rlen",))
+def model_chain_pairs(syms: jnp.ndarray, rlen: jnp.ndarray, max_rlen: int):
+    """Forward model pass: (low, freq) per op, 2 ops per symbol
+    (ans.cpp:152-187).  syms: uint16 padded to max_rlen."""
+    log_t = jnp.asarray(LOG.astype(np.int32))
+    mant_t = jnp.asarray(MANTISSA.astype(np.int32))
+    lows = jnp.zeros(2 * max_rlen, dtype=jnp.int32)
+    fqs = jnp.zeros(2 * max_rlen, dtype=jnp.int32)
+    bank = init_bank()
+
+    def body(i, carry):
+        bank, lows, fqs, ok = carry
+        sym = syms[i].astype(jnp.int32)
+        e = log_t[sym]
+        m = mant_t[sym]
+
+        lo, fq = exp_lookup(bank, e)
+        lows = lows.at[2 * i].set(lo)
+        fqs = fqs.at[2 * i].set(fq)
+        ok = jnp.logical_and(ok, fq > 0)
+        bank = exp_update(bank, e)
+
+        is_adaptive = e < MODEL_SWITCH_THRESHOLD
+        ei = jnp.clip(e, 0, MODEL_SWITCH_THRESHOLD - 1)
+        qi = jnp.clip(e - MODEL_SWITCH_THRESHOLD, 0, NQ - 1)
+        lo, fq = mant_lookup(bank, ei, qi, is_adaptive, m)
+        lows = lows.at[2 * i + 1].set(lo)
+        fqs = fqs.at[2 * i + 1].set(fq)
+        ok = jnp.logical_and(ok, fq > 0)
+        bank = mant_update(bank, ei, qi, is_adaptive, m, m)
+        return bank, lows, fqs, ok
+
+    _, lows, fqs, ok = jax.lax.fori_loop(
+        0, rlen, body, (bank, lows, fqs, jnp.bool_(True))
+    )
+    return lows, fqs, ok
+
+
+@partial(jax.jit, static_argnames=("max_rlen",))
+def rans_reverse_encode(lows: jnp.ndarray, fqs: jnp.ndarray,
+                        rlen: jnp.ndarray, max_rlen: int):
+    """Reverse pass: ops [0, 2*rlen) encoded back-to-front through 4
+    rotating states (ans.cpp:189-208), bytes emitted backward.
+
+    Returns (buf, ptr): payload is buf[ptr:] with buf sized 4*max_rlen+16.
+    """
+    size = 4 * max_rlen + 16
+    buf = jnp.zeros(size, dtype=jnp.uint8)
+    R = jnp.full(4, RANS_BYTE_L, dtype=jnp.uint32)
+    ptr = jnp.int32(size)
+    nops = 2 * rlen
+
+    def body(k, carry):
+        R, buf, ptr = carry
+        i = nops - 1 - k
+        fq = fqs[i].astype(jnp.uint32)
+        lo = lows[i].astype(jnp.uint32)
+        x = R[3]
+        # renormalize: emit low bytes while x >= x_max (rans_byte.hpp:83-95);
+        # at most 3 emissions from a 32-bit state with freq >= 1
+        x_max = ((jnp.uint32(RANS_BYTE_L) >> PROB_BITS) << 8) * fq
+        for _ in range(3):
+            need = x >= x_max
+            # drop-mode scatter with an out-of-bounds index when no byte is
+            # emitted (negative indices are not reliably OOB in scatters)
+            ptr_w = jnp.where(need, ptr - 1, size)
+            buf = buf.at[ptr_w].set((x & 0xFF).astype(jnp.uint8), mode="drop")
+            ptr = jnp.where(need, ptr - 1, ptr)
+            x = jnp.where(need, x >> 8, x)
+        x = ((x // fq) << PROB_BITS) + (x % fq) + lo
+        R = jnp.stack([x, R[0], R[1], R[2]])
+        return R, buf, ptr
+
+    R, buf, ptr = jax.lax.fori_loop(0, nops, body, (R, buf, ptr))
+
+    # flush R3..R0 as little-endian 4-byte each (rans_byte.hpp:98-110)
+    def flush(state, buf, ptr):
+        ptr = ptr - 4
+        for b in range(4):
+            buf = buf.at[ptr + b].set(((state >> (8 * b)) & 0xFF).astype(jnp.uint8))
+        return buf, ptr
+
+    for j in (3, 2, 1, 0):
+        buf, ptr = flush(R[j], buf, ptr)
+    return buf, ptr
+
+
+def encode_pairs_tpu(syms: np.ndarray) -> bytes:
+    """Host wrapper: encode one symbol chain on device (drop-in for
+    stages.ans.encode_pairs)."""
+    syms = np.asarray(syms, dtype=np.uint16)
+    rlen = int(syms.size)
+    max_rlen = max(rlen, 1)
+    padded = np.zeros(max_rlen, dtype=np.uint16)
+    padded[:rlen] = syms
+    lows, fqs, ok = model_chain_pairs(
+        jnp.asarray(padded), jnp.int32(rlen), max_rlen
+    )
+    if not bool(ok):
+        raise ValueError(
+            "model failure (CDF): chunk not encodable in ref-compat mode"
+        )
+    buf, ptr = rans_reverse_encode(lows, fqs, jnp.int32(rlen), max_rlen)
+    return np.asarray(jax.device_get(buf)).tobytes()[int(ptr):]
+
+
+@partial(jax.jit, static_argnames=("max_rlen",))
+def _encode_lanes(syms_pad, rlens, max_rlen: int):
+    def one(syms, rlen):
+        lows, fqs, ok = model_chain_pairs(syms, rlen, max_rlen)
+        buf, ptr = rans_reverse_encode(lows, fqs, rlen, max_rlen)
+        return buf, ptr, ok
+
+    return jax.vmap(one, in_axes=(0, 0))(syms_pad, rlens)
+
+
+def encode_lanes_tpu(lane_syms) -> list:
+    """Encode L symbol chains (the lanes of one JTX chunk) in lockstep.
+
+    lane_syms: list of uint16 arrays.  Returns list of payload bytes.
+    """
+    L = len(lane_syms)
+    max_rlen = max(max((s.size for s in lane_syms), default=0), 1)
+    syms_pad = np.zeros((L, max_rlen), dtype=np.uint16)
+    rlens = np.zeros(L, dtype=np.int32)
+    for l, s in enumerate(lane_syms):
+        syms_pad[l, : s.size] = s
+        rlens[l] = s.size
+    bufs, ptrs, oks = _encode_lanes(
+        jnp.asarray(syms_pad), jnp.asarray(rlens), max_rlen
+    )
+    if not bool(jnp.all(oks)):
+        raise ValueError(
+            "model failure (CDF): chunk not encodable in ref-compat mode"
+        )
+    bufs = np.asarray(jax.device_get(bufs))
+    ptrs = np.asarray(jax.device_get(ptrs))
+    return [bufs[l].tobytes()[int(ptrs[l]):] for l in range(L)]

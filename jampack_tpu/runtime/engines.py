@@ -66,10 +66,14 @@ class TpuEngine(Engine):
     name = "tpu"
 
     def filters_encode(self, data, mode: int):
-        if mode <= 0:
-            return super().filters_encode(data, 0)
-        # device-batched config search (survey P8), inline-delta transforms
-        # on device; emits the same (type,width) chunk format
+        if mode < 3:
+            # -f1/-f2 selection quality (and archive bytes) must match the
+            # spec/native engines — the ref heuristic's sorted-entropy
+            # scoring beats order-0 device scoring on ratio
+            return super().filters_encode(data, mode)
+        # -f3: device-batched config search (survey P8), inline-delta
+        # transforms on device; emits the same (type,width) chunk format
+        # (still reference-decodable)
         from ..format.constants import FILTER_BLOCK_SIZE
         from ..kernels.filters import inline_delta_tpu, pick_config_tpu
 
@@ -125,6 +129,32 @@ class TpuEngine(Engine):
         from ..kernels.ibwt import inverse_bwt_tpu
 
         return inverse_bwt_tpu(data, units)
+
+    def ans_encode(self, data, chunk=1 << 20, lanes=0):
+        from ..format.constants import ANS_CHUNK_SIZE
+        from ..format.varint import encode_leb128
+        from ..kernels.rans_encode import encode_lanes_tpu, encode_pairs_tpu
+        from ..stages.ans import write_chunk_header
+        from ..stages.rank import rank_encode
+        from ..stages.rle0 import rle0_encode
+
+        data = np.asarray(data, dtype=np.uint8)
+        chunk = min(max(int(chunk), 1), ANS_CHUNK_SIZE)
+        out = bytearray()
+        for base in range(0, data.size, chunk):
+            part = data[base : base + chunk].copy()
+            ranked, freqs = rank_encode(part)
+            syms = rle0_encode(ranked)
+            rlen = int(syms.size)
+            if lanes >= 2:
+                payloads = encode_lanes_tpu([syms[l::lanes] for l in range(lanes)])
+                table = b"".join(encode_leb128(len(p)) for p in payloads)
+                payload = table + b"".join(payloads)
+            else:
+                payload = encode_pairs_tpu(syms)
+            out += write_chunk_header(freqs, part.size, len(payload), rlen)
+            out += payload
+        return bytes(out)
 
     def ans_decode(self, data, cap=None, lanes=0):
         from ..kernels.rans_decode import decode_chunk_tpu, decode_lanes_tpu

@@ -64,3 +64,25 @@ def test_cross_engine_decode(oracle, tmp_path):
         with open(jam, "rb") as f:
             decompress_stream(f, out, engine=engine)
         assert out.getvalue() == data
+
+
+def test_tpu_device_filter_search_mode_f3():
+    """-f3: device-batched config search; still reference-format chunks."""
+    import io
+
+    from jampack_tpu.runtime.engines import TpuEngine
+    from jampack_tpu.runtime.pipeline import (
+        Options,
+        compress_stream,
+        decompress_stream,
+    )
+
+    rng = np.random.default_rng(3)
+    base = np.arange(0, 24000, 3, dtype=np.int64) % 251
+    data = (base + rng.integers(0, 2, base.size)).astype(np.uint8).tobytes()
+    arc = io.BytesIO()
+    compress_stream(io.BytesIO(data), arc, Options(filters=3),
+                    engine=TpuEngine())
+    back = io.BytesIO()
+    decompress_stream(io.BytesIO(arc.getvalue()), back)
+    assert back.getvalue() == data

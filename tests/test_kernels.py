@@ -71,3 +71,42 @@ def test_rans_decode_tpu_matches_spec(idx):
     ranked = rle0_decode(syms, olen)
     out = rank_decode(ranked, freqs)
     assert np.array_equal(out, data)
+
+
+@pytest.mark.parametrize("idx", range(5))
+def test_rans_encode_tpu_matches_spec(idx):
+    from jampack_tpu.kernels.rans_encode import encode_pairs_tpu
+    from jampack_tpu.stages.ans import encode_pairs
+    from jampack_tpu.stages.rank import rank_encode as _re
+    from jampack_tpu.stages.rle0 import rle0_encode as _rle
+
+    data = list(ans_chunk_inputs())[idx]
+    ranked, _ = _re(data.copy())
+    syms = _rle(ranked)
+    assert encode_pairs_tpu(syms) == encode_pairs(syms)
+
+
+def test_rans_encode_lanes_tpu_matches_spec():
+    from jampack_tpu.kernels.rans_encode import encode_lanes_tpu
+    from jampack_tpu.stages.ans import encode_pairs
+    from jampack_tpu.stages.rank import rank_encode as _re
+    from jampack_tpu.stages.rle0 import rle0_encode as _rle
+
+    data = RNG.integers(0, 64, 30000, dtype=np.uint8)
+    ranked, _ = _re(data.copy())
+    syms = _rle(ranked)
+    lanes = 8
+    got = encode_lanes_tpu([syms[l::lanes] for l in range(lanes)])
+    want = [encode_pairs(syms[l::lanes]) for l in range(lanes)]
+    assert got == want
+
+
+def test_tpu_engine_ans_encode_stream_matches_spec():
+    from jampack_tpu.runtime.engines import TpuEngine
+    from jampack_tpu.stages.ans import ans_encode
+
+    data = RNG.integers(0, 200, 70000, dtype=np.uint8)
+    for lanes in (0, 4):
+        assert TpuEngine().ans_encode(data, 16 << 10, lanes) == ans_encode(
+            data, 16 << 10, lanes
+        )
