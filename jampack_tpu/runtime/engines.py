@@ -65,6 +65,11 @@ class NativeEngine(Engine):
 class TpuEngine(Engine):
     name = "tpu"
 
+    def lz_decode(self, data, cap=None):
+        from ..kernels.lz_expand import lz77_decode_tpu
+
+        return lz77_decode_tpu(data)
+
     def filters_encode(self, data, mode: int):
         if mode < 3:
             # -f1/-f2 selection quality (and archive bytes) must match the

@@ -110,3 +110,27 @@ def test_tpu_engine_ans_encode_stream_matches_spec():
         assert TpuEngine().ans_encode(data, 16 << 10, lanes) == ans_encode(
             data, 16 << 10, lanes
         )
+
+
+def lz_stream_inputs():
+    # dedupe-heavy, periodic (overlapping copies), random, and native m1/m2
+    big = bytes(RNG.integers(0, 256, 4096, dtype=np.uint8))
+    yield big * 4 + b"tail" + big
+    yield b"ab" * 5000 + b"x" + b"ab" * 300
+    yield bytes(RNG.integers(0, 256, 20000, dtype=np.uint8))
+    yield (b"the quick brown fox jumps over the lazy dog " * 400
+           + bytes(RNG.integers(0, 256, 3000, dtype=np.uint8)))
+    yield b""
+
+
+@pytest.mark.parametrize("idx", range(5))
+@pytest.mark.parametrize("mode", [0, 1, 2])
+def test_lz_expand_tpu_matches_spec(idx, mode):
+    from jampack_tpu import native
+    from jampack_tpu.kernels.lz_expand import lz77_decode_tpu
+    from jampack_tpu.stages.lz77 import lz77_decode
+
+    raw = np.frombuffer(list(lz_stream_inputs())[idx], dtype=np.uint8)
+    enc = native.lz_encode(raw, mode)
+    assert np.array_equal(lz77_decode_tpu(enc), lz77_decode(enc))
+    assert np.array_equal(lz77_decode_tpu(enc), raw)
