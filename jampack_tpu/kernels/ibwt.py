@@ -32,8 +32,7 @@ def _lf_map(bwt: jnp.ndarray, idx: jnp.ndarray, nlen: int) -> jnp.ndarray:
     return positions[order]
 
 
-@partial(jax.jit, static_argnames=("nlen",))
-def _combined_map(bwt: jnp.ndarray, idx: jnp.ndarray, nlen: int) -> jnp.ndarray:
+def combined_map_core(bwt: jnp.ndarray, idx: jnp.ndarray, nlen: int) -> jnp.ndarray:
     """C[j] = (LF[j] << 8) | emitted-byte-when-stepping-through-j.
 
     The chase emits bwt[p' - (p' >= idx)] after p' = LF[p-1]; algebraically
@@ -49,9 +48,11 @@ def _combined_map(bwt: jnp.ndarray, idx: jnp.ndarray, nlen: int) -> jnp.ndarray:
     return (positions[order] << 8) | sorted_bwt.astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("nlen", "units"))
-def _chase_combined(cmap: jnp.ndarray, anchors: jnp.ndarray, nlen: int,
-                    units: int) -> jnp.ndarray:
+_combined_map = partial(jax.jit, static_argnames=("nlen",))(combined_map_core)
+
+
+def chase_combined_core(cmap: jnp.ndarray, anchors: jnp.ndarray, nlen: int,
+                        units: int) -> jnp.ndarray:
     step = nlen // units
     out = jnp.zeros((step, units), dtype=jnp.uint8)
 
@@ -66,6 +67,11 @@ def _chase_combined(cmap: jnp.ndarray, anchors: jnp.ndarray, nlen: int,
 
     _, out = jax.lax.fori_loop(0, step, body, (anchors, out))
     return out.T.reshape(-1)
+
+
+_chase_combined = partial(jax.jit, static_argnames=("nlen", "units"))(
+    chase_combined_core
+)
 
 
 @partial(jax.jit, static_argnames=("nlen", "units"))

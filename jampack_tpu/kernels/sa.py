@@ -32,8 +32,7 @@ def _pack4(t32: jnp.ndarray, off: int, n: int) -> jnp.ndarray:
     return words
 
 
-@partial(jax.jit, static_argnames=("n",))
-def _sa_doubling(t: jnp.ndarray, n: int):
+def sa_doubling_core(t: jnp.ndarray, n: int):
     # Initial rank: exact order of the min(8, remaining)-byte prefix, built
     # from one 3-key sort — two packed 4-byte words plus min(remaining, 8)
     # as the tiebreak.  Zero-padding past the end can only tie with real
@@ -97,6 +96,9 @@ def _sa_doubling(t: jnp.ndarray, n: int):
     return order, rank
 
 
+_sa_doubling = partial(jax.jit, static_argnames=("n",))(sa_doubling_core)
+
+
 def suffix_array_tpu(t: np.ndarray) -> np.ndarray:
     t = np.asarray(t, dtype=np.uint8)
     n = t.size
@@ -108,8 +110,7 @@ def suffix_array_tpu(t: np.ndarray) -> np.ndarray:
     return np.asarray(jax.device_get(order), dtype=np.int32)
 
 
-@partial(jax.jit, static_argnames=("nlen",))
-def _bwt_emit(t: jnp.ndarray, sa: jnp.ndarray, idx: jnp.ndarray, nlen: int):
+def bwt_emit_core(t: jnp.ndarray, sa: jnp.ndarray, idx: jnp.ndarray, nlen: int):
     """Emit BWT rows with the primary-index row dropped (bwt.cpp:50-58).
 
     One random gather total: out[i] = t[(sa[j]-1) mod nlen] with
@@ -123,6 +124,9 @@ def _bwt_emit(t: jnp.ndarray, sa: jnp.ndarray, idx: jnp.ndarray, nlen: int):
     out = t[(sa_j - 1) % nlen]
     out = jnp.where(pos == 0, t[nlen - 1], out)
     return out
+
+
+_bwt_emit = partial(jax.jit, static_argnames=("nlen",))(bwt_emit_core)
 
 
 def _bwt_from_sa(t: jnp.ndarray, sa: jnp.ndarray, nlen: int):

@@ -40,72 +40,25 @@ def make_mesh(n_devices=None):
     return Mesh(np.array(devs), axis_names=("data",))
 
 
-def _sa_fixed(t, n):
-    """Prefix-doubling suffix array on a fixed-shape uint8 block (jit-safe)."""
-    rank = t.astype(jnp.int32)
-    order = jnp.arange(n, dtype=jnp.int32)
-
-    def round_fn(carry):
-        rank, order, _, k = carry
-        pos = jnp.arange(n, dtype=jnp.int32)
-        key1 = rank
-        key2 = jnp.where(pos + k < n, rank[jnp.minimum(pos + k, n - 1)], -1)
-        k1s, k2s, order = jax.lax.sort((key1, key2, pos), num_keys=2,
-                                       is_stable=True)
-        boundaries = jnp.concatenate(
-            [jnp.ones(1, jnp.int32),
-             ((k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])).astype(jnp.int32)]
-        )
-        new_rank = jnp.cumsum(boundaries) - 1
-        rank = jnp.zeros_like(rank).at[order].set(new_rank)
-        return rank, order, new_rank[-1] == n - 1, k * 2
-
-    def cond(carry):
-        _, _, done, k = carry
-        return jnp.logical_and(jnp.logical_not(done), k < 2 * n)
-
-    _, order, _, _ = jax.lax.while_loop(
-        cond, round_fn,
-        (rank, order, jnp.array(False), jnp.array(1, jnp.int32)))
-    return order
-
-
 def codec_block_step(block):
     """Full TPU transform cycle on one fixed-size block: forward BWT (suffix
     sort + emission + anchor planting) then inverse (LF map + 120-chain
     chase).  Returns (reconstruction, bwt, checksum-ish metric).  This is the
-    flagship jittable compute step of the framework."""
+    flagship jittable compute step of the framework; it composes the same
+    traceable cores the single-chip kernels jit (kernels/sa.py, ibwt.py)."""
+    from ..kernels.ibwt import chase_combined_core, combined_map_core
+    from ..kernels.sa import bwt_emit_core, sa_doubling_core
+
     n = block.shape[0]
     units = 120 if n % 120 == 0 else 1
-    sa = _sa_fixed(block, n)
-
-    # forward emission (bwt.cpp:50-58 semantics)
-    idx_sa = jnp.argmin(sa)
-    prev = block[(sa - 1) % n]
-    pos = jnp.arange(n, dtype=jnp.int32)
-    bwt = jnp.where(pos == 0, block[n - 1],
-                    jnp.where(pos <= idx_sa, prev[pos - 1], prev[pos]))
-
-    # plant anchors: SA positions of the `units` equally spaced suffixes
     step = n // units
-    targets = jnp.where(sa % step == 0, sa // step, units)  # `units` drops
-    anchors = jnp.zeros(units, jnp.int32).at[targets].set(pos, mode="drop") + 1
-    idx = anchors[0]
 
-    # inverse: LF map + chase
-    positions = jnp.where(pos >= idx, pos + 1, pos)
-    lf = positions[jnp.argsort(bwt, stable=True)]
+    sa, isa = sa_doubling_core(block, n)
+    bwt = bwt_emit_core(block, sa, isa[0], n)
+    anchors = isa[: units * step : step] + 1  # ISA[u*step]+1, bwt.cpp:44-48
 
-    out = jnp.zeros((step, units), dtype=jnp.uint8)
-
-    def body(i, carry):
-        p, out = carry
-        p = lf[p - 1]
-        sym = bwt[p - (p >= idx).astype(jnp.int32)]
-        return p, jax.lax.dynamic_update_slice(out, sym[None, :], (i, 0))
-
-    _, out = jax.lax.fori_loop(0, step, body, (anchors, out))
-    recon = out.T.reshape(-1)
+    cmap = combined_map_core(bwt, anchors[0], n)
+    recon = chase_combined_core(cmap, anchors, n, units)
     metric = jnp.sum(bwt.astype(jnp.uint32))
     return recon, bwt, metric
 
