@@ -49,7 +49,7 @@ def main():
     import jax.numpy as jnp
 
     from jampack_tpu.kernels.ibwt import _chase_combined, _combined_map
-    from jampack_tpu.kernels.sa import _bwt_emit, _sa_doubling
+    from jampack_tpu.kernels.sa import _bwt_from_prev, _sa_doubling
 
     mb = 8
     n = (mb << 20) - ((mb << 20) % 120)
@@ -64,8 +64,8 @@ def main():
     anchors_fn = jax.jit(lambda isa: isa[: units * step : step] + 1)
 
     def forward(t):
-        sa, isa = _sa_doubling(t, n)
-        bwt = _bwt_emit(t, sa, isa[0], n)
+        sa, isa, prev_sorted = _sa_doubling(t, n)
+        bwt = _bwt_from_prev(prev_sorted, isa[0], n)
         return bwt, anchors_fn(isa)
 
     @jax.jit

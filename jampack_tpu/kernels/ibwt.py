@@ -25,11 +25,10 @@ from ..format.constants import BWT_UNITS
 
 @partial(jax.jit, static_argnames=("nlen",))
 def _lf_map(bwt: jnp.ndarray, idx: jnp.ndarray, nlen: int) -> jnp.ndarray:
-    positions = jnp.arange(nlen, dtype=jnp.int32)
-    positions = jnp.where(positions >= idx, positions + 1, positions)
-    # stable argsort by symbol == counting-sort fill order of the reference
+    # stable argsort by symbol == counting-sort fill order of the reference;
+    # the primary-index adjustment is elementwise on the sorted positions
     order = jnp.argsort(bwt, stable=True)
-    return positions[order]
+    return order + (order >= idx).astype(jnp.int32)
 
 
 def combined_map_core(bwt: jnp.ndarray, idx: jnp.ndarray, nlen: int) -> jnp.ndarray:
@@ -39,13 +38,14 @@ def combined_map_core(bwt: jnp.ndarray, idx: jnp.ndarray, nlen: int) -> jnp.ndar
     bwt_adjusted[positions[j]] == bwt[j], so the byte to emit for entry j is
     just the value-sorted BWT — the same single stable sort yields both the
     LF pointer and the payload byte, fusing the two chase gathers into one.
+    The primary-index position adjustment positions[order] is elementwise
+    (order + (order >= idx)), not a gather: the whole map costs one sort.
     """
-    positions = jnp.arange(nlen, dtype=jnp.int32)
-    positions = jnp.where(positions >= idx, positions + 1, positions)
     sorted_bwt, order = jax.lax.sort(
         (bwt, jnp.arange(nlen, dtype=jnp.int32)), num_keys=1, is_stable=True
     )
-    return (positions[order] << 8) | sorted_bwt.astype(jnp.int32)
+    lf = order + (order >= idx).astype(jnp.int32)
+    return (lf << 8) | sorted_bwt.astype(jnp.int32)
 
 
 _combined_map = partial(jax.jit, static_argnames=("nlen",))(combined_map_core)

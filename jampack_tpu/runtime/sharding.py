@@ -47,14 +47,14 @@ def codec_block_step(block):
     flagship jittable compute step of the framework; it composes the same
     traceable cores the single-chip kernels jit (kernels/sa.py, ibwt.py)."""
     from ..kernels.ibwt import chase_combined_core, combined_map_core
-    from ..kernels.sa import bwt_emit_core, sa_doubling_core
+    from ..kernels.sa import bwt_from_prev_sorted, sa_doubling_core
 
     n = block.shape[0]
     units = 120 if n % 120 == 0 else 1
     step = n // units
 
-    sa, isa = sa_doubling_core(block, n)
-    bwt = bwt_emit_core(block, sa, isa[0], n)
+    sa, isa, prev_sorted = sa_doubling_core(block, n)
+    bwt = bwt_from_prev_sorted(prev_sorted, isa[0], n)
     anchors = isa[: units * step : step] + 1  # ISA[u*step]+1, bwt.cpp:44-48
 
     cmap = combined_map_core(bwt, anchors[0], n)

@@ -128,3 +128,47 @@ def test_lanes_edge_sizes():
         data = np.frombuffer(DATA[:n], dtype=np.uint8)
         blob = ans_encode(data, 1 << 20, lanes=8)
         assert np.array_equal(ans_decode(blob, lanes=8), data)
+
+
+# ---- corrupt-stream probes for JTX streams (fail-stop invariants, SURVEY §4) ----
+
+def _lane_archive(lanes=8, units=480):
+    opt = Options(filters=0, anchor_units=units, rans_lanes=lanes)
+    arc = io.BytesIO()
+    compress_stream(io.BytesIO(DATA), arc, opt, engine=NativeEngine())
+    return bytearray(arc.getvalue())
+
+
+def test_lanes_corrupt_payload_byte_detected():
+    arc = _lane_archive()
+    arc[len(arc) // 2] ^= 0x40
+    with pytest.raises(ValueError):
+        decompress_stream(io.BytesIO(bytes(arc)), io.BytesIO(),
+                          engine=NativeEngine())
+
+
+def test_lanes_truncated_block_detected():
+    arc = _lane_archive()
+    with pytest.raises(ValueError, match="truncated"):
+        decompress_stream(io.BytesIO(bytes(arc[:-10])), io.BytesIO(),
+                          engine=NativeEngine())
+
+
+def test_lanes_crc_flip_detected():
+    arc = _lane_archive()
+    arc[4] ^= 0xFF  # crc field of the first block header
+    with pytest.raises(ValueError):
+        decompress_stream(io.BytesIO(bytes(arc)), io.BytesIO(),
+                          engine=NativeEngine())
+
+
+def test_lanes_corrupt_lane_table_detected_spec():
+    from jampack_tpu.stages.ans import ans_decode, ans_encode
+
+    data = np.frombuffer(DATA[:20000], dtype=np.uint8)
+    blob = bytearray(ans_encode(data, 1 << 20, lanes=4))
+    # wrong lane count on decode must not silently succeed
+    with pytest.raises(ValueError):
+        got = ans_decode(bytes(blob), lanes=8)
+        if not np.array_equal(got, data):
+            raise ValueError("mismatch")
