@@ -6,7 +6,7 @@ Flags (main.cpp:65-89 semantics): -b block size in MB (1..1000), -m match
 finder (0 dedupe / 1 hash chain / 2 suffix array), -f filters (0 off /
 1 heuristic / 2 brute force / 3 TPU device search), -t threads, -T
 single-block low-memory decode.
-Extra: --engine numpy|native|tpu (default native); JTX stream parameters
+Extra: --engine numpy|native|tpu|hybrid (default native); JTX stream parameters
 -u# BWT anchor units, -c# ANS chunk KB, -L# rANS lane-interleave width.
 """
 
@@ -30,6 +30,10 @@ def _make_engine(name: str, threads: int):
         from .runtime.engines import TpuEngine
 
         return TpuEngine()
+    if name == "hybrid":
+        from .runtime.engines import HybridEngine
+
+        return HybridEngine(threads=threads)
     from .runtime.engines import NativeEngine
 
     return NativeEngine(threads=threads)

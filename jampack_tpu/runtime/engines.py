@@ -62,6 +62,28 @@ class NativeEngine(Engine):
         return self._n.ans_decode(data, cap, self.threads, lanes)
 
 
+class HybridEngine(NativeEngine):
+    """Production configuration: native C++ host engine for the irreducibly
+    serial stages (entropy chains, rank/RLE, Lpx, LZ match finding) and the
+    TPU kernels for the BWT — the stage whose suffix sort / LF chase are
+    the FLOP- and bandwidth-heavy parts that map onto the device.  On real
+    TPU hosts the transfer is PCIe-fast; on the tunneled dev chip transfers
+    dominate, so this engine is about the design point, not the local
+    numbers."""
+
+    name = "hybrid"
+
+    def bwt_forward(self, data, units=120):
+        from ..kernels.sa import forward_bwt_tpu
+
+        return forward_bwt_tpu(data, units)
+
+    def bwt_inverse(self, data, units=120):
+        from ..kernels.ibwt import inverse_bwt_tpu
+
+        return inverse_bwt_tpu(data, units)
+
+
 class TpuEngine(Engine):
     name = "tpu"
 

@@ -1,0 +1,56 @@
+"""CLI surface: flag parsing, JTX stream parameters survive the framing
+(regression: the CLI used to drop -u/-L when writing block headers), and
+full file roundtrips through the real entry point."""
+
+import numpy as np
+import pytest
+
+from jampack_tpu.cli import _parse, run
+
+RNG = np.random.default_rng(7)
+
+
+def test_parse_flags():
+    mode, inp, outp, opt, engine = _parse(
+        ["jam", "c", "a", "b", "-b16", "-m2", "-f2", "-t4",
+         "-u960", "-c128", "-L8", "--engine=numpy"]
+    )
+    assert (mode, inp, outp) == ("c", "a", "b")
+    assert opt.blocksize == 16 << 20
+    assert opt.match_finder == 2 and opt.filters == 2 and opt.threads == 4
+    assert opt.anchor_units == 960 and opt.ans_chunk == 128 << 10
+    assert opt.rans_lanes == 8
+    assert engine == "numpy"
+
+
+def test_parse_refuses_in_place():
+    with pytest.raises(SystemExit):
+        _parse(["jam", "c", "same", "same"])
+
+
+def _roundtrip(tmp_path, flags):
+    data = (b"cli roundtrip " * 5000
+            + bytes(RNG.integers(0, 256, 30000, dtype=np.uint8)))
+    src = tmp_path / "in.bin"
+    jam = tmp_path / "out.jam"
+    back = tmp_path / "back.bin"
+    src.write_bytes(data)
+    assert run(["jam", "c", str(src), str(jam)] + flags) is None or True
+    run(["jam", "d", str(jam), str(back)] + [f for f in flags if f.startswith("-t")])
+    assert back.read_bytes() == data
+    return jam.read_bytes()
+
+
+def test_cli_roundtrip_default(tmp_path):
+    blob = _roundtrip(tmp_path, ["-t2"])
+    assert blob[:3] == b"JAM"
+
+
+def test_cli_roundtrip_jtx_units_lanes(tmp_path):
+    """Regression: -u/-L must reach the block framing and the decoder."""
+    blob = _roundtrip(tmp_path, ["-u480", "-L8", "-c256", "-t2"])
+    assert blob[:3] == b"JTX"
+
+
+def test_cli_single_block_mode(tmp_path):
+    _roundtrip(tmp_path, ["-T", "-b1"])

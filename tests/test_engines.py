@@ -86,3 +86,24 @@ def test_tpu_device_filter_search_mode_f3():
     back = io.BytesIO()
     decompress_stream(io.BytesIO(arc.getvalue()), back)
     assert back.getvalue() == data
+
+
+def test_hybrid_engine_roundtrip_and_interop():
+    import io
+
+    from jampack_tpu.runtime.engines import HybridEngine, NativeEngine
+
+    rng = np.random.default_rng(11)
+    data = (b"hybrid engine " * 3000
+            + bytes(rng.integers(0, 256, 50000, dtype=np.uint8)))
+    arc = io.BytesIO()
+    compress_stream(io.BytesIO(data), arc, Options(filters=1),
+                    engine=HybridEngine())
+    # native-encoded bytes must be identical (same stages, BWT is canonical)
+    arc2 = io.BytesIO()
+    compress_stream(io.BytesIO(data), arc2, Options(filters=1),
+                    engine=NativeEngine())
+    assert arc.getvalue() == arc2.getvalue()
+    out = io.BytesIO()
+    decompress_stream(io.BytesIO(arc.getvalue()), out, engine=HybridEngine())
+    assert out.getvalue() == data
