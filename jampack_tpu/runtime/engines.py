@@ -184,30 +184,47 @@ class TpuEngine(Engine):
         return bytes(out)
 
     def ans_decode(self, data, cap=None, lanes=0):
-        from ..kernels.rans_decode import decode_chunk_tpu, decode_lanes_tpu
+        """Chunk-grid entropy decode (survey P5 + P6): every independent
+        chain in the stream — one per chunk in the reference layout, one
+        per chunk x lane in JTX wide-interleave — decodes in a single
+        vmapped lockstep kernel call."""
+        from ..kernels.rans_decode import decode_lanes_tpu
         from ..stages.ans import interleave_lanes, lane_rlen, read_lane_table
 
         buf = np.asarray(data, dtype=np.uint8)
         view = memoryview(buf.tobytes())
         pos = 0
-        parts = []
+        chunks = []  # (freqs, olen, rlen, [chain rows])
+        starts, rlens = [], []
         while pos < len(view):
             freqs, olen, clen, rlen, pos = read_chunk_header(view, pos)
             if lanes >= 2:
                 lane_clens, p = read_lane_table(view, pos, rlen, lanes)
-                starts = np.cumsum([p] + lane_clens[:-1]).astype(np.int32)
-                rlens = np.asarray(
-                    [lane_rlen(rlen, lanes, l) for l in range(lanes)],
-                    dtype=np.int32,
-                )
-                lane_syms = decode_lanes_tpu(buf, starts, rlens)
+                rows = list(range(len(starts), len(starts) + lanes))
+                starts.extend(np.cumsum([p] + lane_clens[:-1]).tolist())
+                rlens.extend(lane_rlen(rlen, lanes, l) for l in range(lanes))
+            else:
+                rows = [len(starts)]
+                starts.append(pos)
+                rlens.append(rlen)
+            chunks.append((freqs, olen, rlen, rows))
+            pos += clen
+        if not chunks:
+            return np.zeros(0, dtype=np.uint8)
+
+        all_syms = decode_lanes_tpu(
+            buf,
+            np.asarray(starts, dtype=np.int32),
+            np.asarray(rlens, dtype=np.int32),
+        )
+        parts = []
+        for freqs, olen, rlen, rows in chunks:
+            if lanes >= 2:
                 syms = interleave_lanes(
-                    [lane_syms[l, : rlens[l]] for l in range(lanes)],
-                    rlen, lanes,
+                    [all_syms[r, : rlens[r]] for r in rows], rlen, lanes
                 )
             else:
-                syms = decode_chunk_tpu(buf[pos : pos + clen], rlen)
+                syms = all_syms[rows[0], :rlen]
             ranked = rle0_decode(syms, olen)
             parts.append(rank_decode(ranked, freqs))
-            pos += clen
-        return np.concatenate(parts) if parts else np.zeros(0, dtype=np.uint8)
+        return np.concatenate(parts)
