@@ -111,28 +111,21 @@ def decode_chunk_tpu(payload: np.ndarray, rlen: int) -> np.ndarray:
     return np.asarray(jax.device_get(syms))[:rlen]
 
 
-@partial(jax.jit, static_argnames=("max_rlen",))
-def _decode_lanes(buf, starts, rlens, max_rlen: int):
-    """All lanes of a JTX wide-interleave chunk in lockstep: the serial
-    model/rANS chain becomes an L-wide vector loop (survey P6, generalized
-    from the reference's 4-state ILP interleave)."""
-    return jax.vmap(
-        lambda s, r: decode_chunk_syms(buf, s, r, max_rlen),
-        in_axes=(0, 0),
-    )(starts, rlens)
-
-
 def decode_lanes_tpu(buf: np.ndarray, starts: np.ndarray,
                      rlens: np.ndarray) -> np.ndarray:
-    """Host wrapper: decode every lane of one chunk on device.
+    """Host wrapper: decode a batch of independent chains (the lanes of JTX
+    chunks, or whole chunks in the reference layout) on device in lockstep
+    (survey P5/P6) via the lane-vectorized kernel (rans_wide.py).
 
-    buf: the whole ANS stream; starts[l]: payload offset of lane l;
-    rlens[l]: symbols owned by lane l.  Returns (L, max_rlen) uint16.
+    buf: the whole ANS stream; starts[l]: payload offset of chain l;
+    rlens[l]: symbols owned by chain l.  Returns (L, max_rlen) uint16.
     """
+    from .rans_wide import decode_lanes_wide
+
     max_rlen = int(np.max(rlens)) if rlens.size else 0
     if max_rlen == 0:
         return np.zeros((len(starts), 0), dtype=np.uint16)
-    syms, ok = _decode_lanes(
+    syms, ok = decode_lanes_wide(
         jnp.asarray(np.asarray(buf, dtype=np.uint8)),
         jnp.asarray(starts, dtype=jnp.int32),
         jnp.asarray(rlens, dtype=jnp.int32),

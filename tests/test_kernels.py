@@ -134,3 +134,31 @@ def test_lz_expand_tpu_matches_spec(idx, mode):
     enc = native.lz_encode(raw, mode)
     assert np.array_equal(lz77_decode_tpu(enc), lz77_decode(enc))
     assert np.array_equal(lz77_decode_tpu(enc), raw)
+
+
+def test_wide_decoder_matches_scalar_kernel():
+    """Lane-vectorized decoder vs scalar chain kernel, uneven lane lengths."""
+    from jampack_tpu.kernels.rans_decode import decode_lanes_tpu
+    from jampack_tpu.stages.ans import (
+        ans_encode_chunk,
+        lane_rlen,
+        read_chunk_header,
+        read_lane_table,
+    )
+    from jampack_tpu.stages.ans import decode_pairs
+
+    data = np.repeat(RNG.integers(0, 40, 900, dtype=np.uint8),
+                     RNG.integers(1, 30, 900)).astype(np.uint8)[:17001]
+    lanes = 8
+    blob = ans_encode_chunk(data, lanes)
+    view = memoryview(blob)
+    freqs, olen, clen, rlen, pos = read_chunk_header(view, 0)
+    lane_clens, p = read_lane_table(view, pos, rlen, lanes)
+    starts = np.cumsum([p] + lane_clens[:-1]).astype(np.int32)
+    rlens = np.asarray([lane_rlen(rlen, lanes, l) for l in range(lanes)],
+                       np.int32)
+    buf = np.frombuffer(blob, np.uint8)
+    got = decode_lanes_tpu(buf, starts, rlens)
+    for l in range(lanes):
+        want = decode_pairs(view, int(starts[l]), int(rlens[l]))
+        assert np.array_equal(got[l, : rlens[l]], want), l
