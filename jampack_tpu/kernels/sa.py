@@ -66,7 +66,8 @@ def sa_doubling_core(t: jnp.ndarray, n: int):
         [jnp.ones(1, dtype=jnp.int32), neq.astype(jnp.int32)]
     )
     init_rank = jnp.cumsum(boundaries) - 1
-    rank = jnp.zeros(n, dtype=jnp.int32).at[order].set(init_rank)
+    # ISA build: sorting by the permutation key beats a scatter ~2x on TPU
+    _, rank = jax.lax.sort((order, init_rank), num_keys=1, is_stable=False)
     init_done = init_rank[-1] == n - 1
 
     def round_fn(k, rank, order):
@@ -85,7 +86,7 @@ def sa_doubling_core(t: jnp.ndarray, n: int):
             ]
         )
         new_rank = jnp.cumsum(boundaries) - 1
-        rank = jnp.zeros_like(rank).at[order].set(new_rank)
+        _, rank = jax.lax.sort((order, new_rank), num_keys=1, is_stable=False)
         return rank, order, prev_sorted, new_rank[-1] == n - 1
 
     def cond(carry):
