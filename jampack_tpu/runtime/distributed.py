@@ -1,0 +1,98 @@
+"""Multi-host orchestration (SURVEY.md §5.8).
+
+The format is embarrassingly parallel: each framed block is self-contained
+(magic+crc+csize+bsize, jampack.cpp:122-164), so multi-host scaling is
+deterministic work division plus in-order stitching — no cross-host data
+dependencies, nothing to broadcast at decode time (all model tables are
+in-stream per chunk).
+
+Scheme: host p of P owns blocks {i : i mod P == p}.  Each host streams its
+blocks (others are skipped cheaply via the csize field without decoding),
+writes `<out>.part<p>` plus a block-size manifest, and `stitch()`
+concatenates parts in block order.  On a TPU pod slice, pair this with
+`initialize()` (jax.distributed) so each host also drives its local chips
+via the `data`-sharded codec step (runtime/sharding.py).
+"""
+
+import json
+import os
+
+from ..format import framing
+from .pipeline import decompress_block
+
+
+def initialize(coordinator_address=None, num_processes=None, process_id=None):
+    """jax.distributed bring-up; no-op when single-process (the common
+    local case and the unit-test case)."""
+    if num_processes is None or num_processes <= 1:
+        return
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def owner(block_index: int, process_count: int) -> int:
+    """Deterministic block -> host assignment (round robin)."""
+    return block_index % max(process_count, 1)
+
+
+def decompress_stream_part(inp, out_dir: str, process_id: int,
+                           process_count: int, engine=None) -> dict:
+    """Decode this host's blocks from a full archive stream.
+
+    Writes `part<p>` and `manifest<p>.json` into out_dir; returns the
+    manifest (block index -> decoded size) for this host.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    part_path = os.path.join(out_dir, f"part{process_id}")
+    sizes = {}
+    with open(part_path, "wb") as out:
+        index = 0
+        while True:
+            rec = framing.read_block(inp)
+            if rec is None:
+                break
+            header, payload = rec
+            if owner(index, process_count) == process_id:
+                data = decompress_block(payload, header.crc, engine,
+                                        header.blocksize, header.units,
+                                        header.lanes)
+                out.write(data.tobytes())
+                sizes[index] = int(data.size)
+            index += 1
+    manifest = {"process_id": process_id, "sizes": sizes}
+    with open(os.path.join(out_dir, f"manifest{process_id}.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def stitch(out_dir: str, out_path: str, process_count: int) -> int:
+    """Concatenate per-host parts in block order; returns total bytes."""
+    manifests = []
+    for p in range(process_count):
+        with open(os.path.join(out_dir, f"manifest{p}.json")) as f:
+            m = json.load(f)
+        manifests.append({int(k): v for k, v in m["sizes"].items()})
+    readers = [open(os.path.join(out_dir, f"part{p}"), "rb")
+               for p in range(process_count)]
+    total = 0
+    try:
+        with open(out_path, "wb") as out:
+            index = 0
+            remaining = sum(len(m) for m in manifests)
+            while remaining > 0:
+                p = owner(index, process_count)
+                size = manifests[p].pop(index, None)
+                if size is not None:
+                    out.write(readers[p].read(size))
+                    total += size
+                    remaining -= 1
+                index += 1
+    finally:
+        for r in readers:
+            r.close()
+    return total

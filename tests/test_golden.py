@@ -51,3 +51,26 @@ def test_default_encode_matches_reference_bytes(engine_cls):
     compress_stream(io.BytesIO(GOLDEN_INPUT), arc, Options(filters=1),
                     engine=engine_cls())
     assert arc.getvalue() == _read("golden_f1.jam")
+
+
+@pytest.mark.parametrize("engine_cls", [Engine, NativeEngine, TpuEngine],
+                         ids=["numpy", "native", "tpu"])
+def test_every_engine_decodes_golden_jtx(engine_cls):
+    """JTX format lock: archive written at (u=960, L=16, c=256K) when the
+    native container was finalized; every engine must decode it forever."""
+    out = io.BytesIO()
+    decompress_stream(io.BytesIO(_read("golden_jtx_u960_L16_c256.jtx")), out,
+                      engine=engine_cls())
+    assert out.getvalue() == GOLDEN_INPUT
+
+
+def test_jtx_encoder_reproduces_golden_bytes():
+    """JTX encode determinism: same options -> same bytes as the fixture."""
+    arc = io.BytesIO()
+    compress_stream(
+        io.BytesIO(GOLDEN_INPUT), arc,
+        Options(filters=1, anchor_units=960, ans_chunk=256 << 10,
+                rans_lanes=16),
+        engine=NativeEngine(),
+    )
+    assert arc.getvalue() == _read("golden_jtx_u960_L16_c256.jtx")
