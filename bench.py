@@ -48,8 +48,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from jampack_tpu.kernels.ibwt import _chase_combined, _combined_map
-    from jampack_tpu.kernels.sa import _bwt_from_prev, _sa_doubling
+    from jampack_tpu.kernels.ibwt import chase_combined_core, combined_map_core
+    from jampack_tpu.kernels.sa import bwt_from_prev_sorted, sa_doubling_core
 
     mb = 8
     n = (mb << 20) - ((mb << 20) % 120)
@@ -58,20 +58,17 @@ def main():
     data = textlike(n)
     td = jax.device_put(jnp.asarray(data))
 
-    # forward runs as three separately-jitted dispatches: whole-forward
-    # fusion makes XLA serialize the emit gather into the sort epilogue
-    # (measured 2x slower); the inverse fuses profitably.
-    anchors_fn = jax.jit(lambda isa: isa[: units * step : step] + 1)
-
+    # both directions fuse profitably now that emission is gather-free
+    @jax.jit
     def forward(t):
-        sa, isa, prev_sorted = _sa_doubling(t, n)
-        bwt = _bwt_from_prev(prev_sorted, isa[0], n)
-        return bwt, anchors_fn(isa)
+        sa, isa, prev_sorted = sa_doubling_core(t, n)
+        bwt = bwt_from_prev_sorted(prev_sorted, isa[0], n)
+        return bwt, isa[: units * step : step] + 1
 
     @jax.jit
     def inverse(bwt, anchors):
-        cmap = _combined_map(bwt, anchors[0], n)
-        return _chase_combined(cmap, anchors, n, units)
+        cmap = combined_map_core(bwt, anchors[0], n)
+        return chase_combined_core(cmap, anchors, n, units)
 
     # warmup compiles
     bwt, anchors = forward(td)
