@@ -108,3 +108,45 @@ def test_ref_m1_m2_cross_decode(tmp_path, oracle):
         with open(jam, "rb") as f:
             decompress_stream(f, out)
         assert out.getvalue() == data
+
+
+# ---- decoder fuzz: arbitrary garbage must raise cleanly, never hang ----
+
+def test_garbage_streams_raise_cleanly():
+    import io
+
+    from jampack_tpu.runtime.pipeline import decompress_stream
+
+    rng = np.random.default_rng(0xF00D)
+    for trial in range(20):
+        n = int(rng.integers(1, 4000))
+        blob = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        try:
+            decompress_stream(io.BytesIO(blob), io.BytesIO())
+        except (ValueError, Exception):
+            continue
+
+
+def test_valid_header_garbage_payload_raises():
+    import io
+    import struct
+
+    from jampack_tpu.runtime.pipeline import decompress_stream
+
+    rng = np.random.default_rng(0xBEEF)
+    payload = bytes(rng.integers(0, 256, 3000, dtype=np.uint8))
+    blob = struct.pack("<3sIii", b"JAM", 0, len(payload), 1 << 23) + payload
+    with pytest.raises(ValueError):
+        decompress_stream(io.BytesIO(blob), io.BytesIO())
+
+
+def test_lz_decode_rejects_bad_offset():
+    from jampack_tpu.stages.lz77 import lz77_decode, write_token
+
+    from jampack_tpu.format.constants import LZ_MIN_MATCH
+
+    # token demands a copy from before the start of output
+    bad = (write_token(300, 0, 9999)
+           + write_token(LZ_MIN_MATCH, LZ_MIN_MATCH, 0))
+    with pytest.raises(ValueError):
+        lz77_decode(np.frombuffer(bad, dtype=np.uint8))
