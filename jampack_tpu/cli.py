@@ -1,6 +1,7 @@
 """Command-line interface, argument-compatible with the reference binary.
 
     python -m jampack_tpu.cli <c|d> input output [-b# -m# -f# -t# -T] [--engine E]
+    python -m jampack_tpu.cli i archive          (dump block headers)
 
 Flags (main.cpp:65-89 semantics): -b block size in MB (1..1000), -m match
 finder (0 dedupe / 1 hash chain / 2 suffix array), -f filters (0 off /
@@ -89,7 +90,31 @@ def _parse(argv):
     return mode, inp, outp, opt, engine
 
 
+def info(path: str) -> int:
+    """Dump block headers (jampack.cpp:174-180 DisplayHeaderContents
+    counterpart): per block magic kind, crc, compressed/block sizes, and
+    JTX stream parameters."""
+    total_c = 0
+    n = 0
+    with open(path, "rb") as f:
+        while True:
+            rec = framing.read_block(f)
+            if rec is None:
+                break
+            h, payload = rec
+            kind = "JTX" if (h.units != 120 or h.lanes >= 2) else "JAM"
+            extra = f" units={h.units} lanes={h.lanes}" if kind == "JTX" else ""
+            print(f"block {n}: {kind} crc=0x{h.crc:08x} csize={h.csize} "
+                  f"blocksize={h.blocksize}{extra}")
+            total_c += h.csize + framing.HEADER_SIZE
+            n += 1
+    print(f"{n} blocks, {total_c} compressed bytes")
+    return 0
+
+
 def run(argv):
+    if len(argv) >= 3 and argv[1] == "i":
+        return info(argv[2])
     parsed = _parse(argv)
     if parsed is None:
         return 0

@@ -54,3 +54,15 @@ def test_cli_roundtrip_jtx_units_lanes(tmp_path):
 
 def test_cli_single_block_mode(tmp_path):
     _roundtrip(tmp_path, ["-T", "-b1"])
+
+
+def test_cli_info(tmp_path, capsys):
+    data = b"info header dump " * 4000
+    src = tmp_path / "in.bin"; src.write_bytes(data)
+    jam = tmp_path / "out.jam"
+    run(["jam", "c", str(src), str(jam), "-u480", "-L4"])
+    capsys.readouterr()
+    run(["jam", "i", str(jam)])
+    out = capsys.readouterr().out
+    assert "JTX" in out and "units=480 lanes=4" in out
+    assert "1 blocks" in out
