@@ -1,0 +1,192 @@
+"""TPU Lpx — localized prefix model codec.
+
+The reference splits the block into 4 equal sub-blocks each with
+independent model state (lpx.cpp:150-169) — exactly a vmap axis here
+(survey P7): the per-span byte loop is irreducibly serial (order-1..3
+context tables update per byte), so the kernel runs the 4 spans in
+lockstep, each step doing small-table gathers/updates and the XOR
+prediction run logic as selects.
+
+The reference's inner "emit XOR until first nonzero error" loop
+(lpx.cpp:73-95) is flattened into carried state: `in_run` plus the run's
+anchor distance, which the reference fixes at run entry.
+
+Bit-exact with stages/lpx.py (and thus lpx.cpp): int32 arithmetic-shift
+threshold mixing, uint32 wrap of the rolling context and anchor distance,
+update-table order adjustment 1<->3.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..format.constants import (
+    LPX_MAX_RECORD_SIZE,
+    LPX_MAX_THRESHOLD,
+    LPX_MIN_THRESHOLD,
+)
+
+
+def _update_table(tbl, cxt, pos, order):
+    """lpx.cpp:11-54 semantics on the (3, 256) table pytree; returns
+    (tbl, new_order)."""
+    cxt_t, pos_t, hits_t, miss_t, thr_t = tbl
+    o = order
+    t = o - 1
+    lp = (cxt >> (o * 8)).astype(jnp.int32) & 0xFF
+    ls = (cxt & ((jnp.uint32(1) << (o * 8)) - 1)).astype(jnp.int32)
+
+    distance = pos - pos_t[t, lp]
+    lower = jnp.int32(LPX_MIN_THRESHOLD)
+    upper = jnp.where(
+        hits_t[t, lp] < LPX_MAX_THRESHOLD,
+        jnp.maximum(distance, lower),
+        jnp.minimum(distance >> o, LPX_MAX_THRESHOLD >> o),
+    )
+    bound = jnp.where(
+        distance <= lower, lower, jnp.where(distance > upper, upper, distance)
+    )
+
+    gate = pos > o
+    match = gate & (cxt_t[t, lp] == ls)
+    mismatch = gate & (cxt_t[t, lp] != ls)
+
+    # ---- match branch
+    new_pos = jnp.where(match, pos - o, pos_t[t, lp])
+    new_hits = jnp.where(match, hits_t[t, lp] + 1, hits_t[t, lp])
+    new_miss_m = jnp.where(match, 0, miss_t[t, lp])
+    o_down = match & (new_hits > ((thr_t[t, lp] << o) << 3)) & (o > 1) & (o <= 3)
+    # the threshold mix uses the order AFTER the adjustment (lpx.cpp order)
+    o_m = jnp.where(o_down, o - 1, o)
+    thr_up = match & (new_hits > (thr_t[t, lp] << 1))  # miss just reset to 0
+    new_thr = jnp.where(thr_up, thr_t[t, lp] + ((bound - thr_t[t, lp]) >> o_m),
+                        thr_t[t, lp])
+
+    # ---- mismatch branch
+    new_hits = jnp.where(mismatch, hits_t[t, lp] >> 2, new_hits)
+    new_miss = jnp.where(mismatch, miss_t[t, lp] + 1, new_miss_m)
+    new_cxt = jnp.where(mismatch, ls, cxt_t[t, lp])
+    o_up = (
+        mismatch
+        & (new_miss > thr_t[t, lp] * thr_t[t, lp] * o)
+        & (o >= 1) & (o < 3)
+    )
+    o_mm = jnp.where(o_up, o + 1, o)
+    thr_up2 = mismatch & (new_miss > thr_t[t, lp])
+    new_thr = jnp.where(
+        thr_up2,
+        new_thr + ((LPX_MAX_THRESHOLD - new_thr) >> (4 - o_mm)),
+        new_thr,
+    )
+
+    tbl = (
+        cxt_t.at[t, lp].set(new_cxt),
+        pos_t.at[t, lp].set(new_pos),
+        hits_t.at[t, lp].set(new_hits),
+        miss_t.at[t, lp].set(new_miss),
+        thr_t.at[t, lp].set(new_thr),
+    )
+    new_order = jnp.where(o_down, o - 1, jnp.where(o_up, o + 1, o))
+    return tbl, new_order
+
+
+def _code_span(inp, length, max_len: int, decode: bool):
+    """One sub-block (lpx.cpp:73-95 flattened); inp padded to max_len."""
+    tbl = (
+        jnp.zeros((3, 256), jnp.int32),
+        jnp.zeros((3, 256), jnp.int32),
+        jnp.zeros((3, 256), jnp.int32),
+        jnp.zeros((3, 256), jnp.int32),
+        jnp.full((3, 256), LPX_MAX_THRESHOLD >> 1, jnp.int32),
+    )
+    out = jnp.zeros(max_len, jnp.uint8)
+
+    def body(i, carry):
+        tbl, out, cxt, order, in_run, run_dist = carry
+        active = i < length
+        _, pos_t, hits_t, _, thr_t = tbl
+
+        lp0 = (cxt & 0xFF).astype(jnp.int32)
+        t = order - 1
+        dist_new = (jnp.uint32(i) - pos_t[t, lp0].astype(jnp.uint32))
+        start_run = (
+            jnp.logical_not(in_run)
+            & (hits_t[t, lp0] > thr_t[t, lp0])
+            & (dist_new < LPX_MAX_RECORD_SIZE)
+        )
+        coding = in_run | start_run
+        dist = jnp.where(in_run, run_dist, dist_new).astype(jnp.int32)
+
+        src = jnp.where(coding, i - dist, 0)
+        ref_byte = (out[src] if decode else inp[src]).astype(jnp.uint8)
+        cur = inp[i].astype(jnp.uint8)
+        if decode:
+            err = jnp.where(coding, cur, jnp.uint8(0))
+            emitted = jnp.where(coding, ref_byte ^ cur, cur)
+        else:
+            err = jnp.where(coding, ref_byte ^ cur, jnp.uint8(0))
+            emitted = jnp.where(coding, ref_byte ^ cur, cur)
+        out = out.at[i].set(jnp.where(active, emitted, out[i]))
+
+        # orig byte feeding the rolling context: reconstructed output while
+        # decoding, the raw input while encoding (lpx.cpp run body)
+        orig_byte = emitted if decode else cur
+
+        new_tbl, new_order = _update_table(tbl, cxt, i, order)
+        tbl = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(active, new, old), new_tbl, tbl
+        )
+        order = jnp.where(active, new_order, order)
+        cxt = jnp.where(
+            active, (cxt << 8) | orig_byte.astype(jnp.uint32), cxt
+        )
+        next_in_run = coding & (err == 0)
+        in_run = jnp.where(active, next_in_run, in_run)
+        run_dist = jnp.where(active & coding, dist.astype(jnp.uint32),
+                             run_dist)
+        return tbl, out, cxt, order, in_run, run_dist
+
+    init = (tbl, out, jnp.uint32(0), jnp.int32(3), jnp.bool_(False),
+            jnp.uint32(0))
+    carry = jax.lax.fori_loop(0, max_len, body, init)
+    return carry[1]
+
+
+@partial(jax.jit, static_argnames=("max_len", "decode"))
+def _code_spans(spans, lengths, max_len: int, decode: bool):
+    return jax.vmap(lambda s, ln: _code_span(s, ln, max_len, decode))(
+        spans, lengths
+    )
+
+
+def _lpx_tpu(data: np.ndarray, decode: bool) -> np.ndarray:
+    from ..stages.lpx import _split_spans
+
+    data = np.asarray(data, dtype=np.uint8)
+    spans = _split_spans(data.size)
+    if not spans:
+        return np.zeros(0, dtype=np.uint8)
+    max_len = max(ln for _, ln in spans)
+    padded = np.zeros((len(spans), max_len), dtype=np.uint8)
+    lengths = np.zeros(len(spans), dtype=np.int32)
+    for k, (start, ln) in enumerate(spans):
+        padded[k, :ln] = data[start : start + ln]
+        lengths[k] = ln
+    out = _code_spans(
+        jnp.asarray(padded), jnp.asarray(lengths), max_len, decode
+    )
+    out = np.asarray(jax.device_get(out))
+    res = np.empty(data.size, dtype=np.uint8)
+    for k, (start, ln) in enumerate(spans):
+        res[start : start + ln] = out[k, :ln]
+    return res
+
+
+def lpx_encode_tpu(data: np.ndarray) -> np.ndarray:
+    return _lpx_tpu(data, decode=False)
+
+
+def lpx_decode_tpu(data: np.ndarray) -> np.ndarray:
+    return _lpx_tpu(data, decode=True)

@@ -92,6 +92,16 @@ class TpuEngine(Engine):
 
         return lz77_decode_tpu(data)
 
+    def lpx_encode(self, data):
+        from ..kernels.lpx_tpu import lpx_encode_tpu
+
+        return lpx_encode_tpu(data)
+
+    def lpx_decode(self, data):
+        from ..kernels.lpx_tpu import lpx_decode_tpu
+
+        return lpx_decode_tpu(data)
+
     def filters_encode(self, data, mode: int):
         if mode < 3:
             # -f1/-f2 selection quality (and archive bytes) must match the
