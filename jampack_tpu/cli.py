@@ -102,11 +102,12 @@ def info(path: str) -> int:
             if rec is None:
                 break
             h, payload = rec
-            kind = "JTX" if (h.units != 120 or h.lanes >= 2) else "JAM"
-            extra = f" units={h.units} lanes={h.lanes}" if kind == "JTX" else ""
+            native = framing.is_native(h.units, h.lanes)
+            kind = "JTX" if native else "JAM"
+            extra = f" units={h.units} lanes={h.lanes}" if native else ""
             print(f"block {n}: {kind} crc=0x{h.crc:08x} csize={h.csize} "
                   f"blocksize={h.blocksize}{extra}")
-            total_c += h.csize + framing.HEADER_SIZE
+            total_c += h.csize + framing.header_size(h.units, h.lanes)
             n += 1
     print(f"{n} blocks, {total_c} compressed bytes")
     return 0

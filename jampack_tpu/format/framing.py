@@ -37,9 +37,19 @@ class BlockHeader:
     lanes: int = 0
 
 
+def is_native(units: int, lanes: int = 0) -> bool:
+    """True when the stream parameters require the JTX container."""
+    return units != BWT_UNITS or lanes >= 2
+
+
+def header_size(units: int, lanes: int = 0) -> int:
+    """On-disk header bytes for a block with these stream parameters."""
+    return HEADER_SIZE + (_NATIVE_EXT.size if is_native(units, lanes) else 0)
+
+
 def write_block(out, crc: int, payload: bytes, blocksize: int,
                 units: int = BWT_UNITS, lanes: int = 0) -> None:
-    native = units != BWT_UNITS or lanes >= 2
+    native = is_native(units, lanes)
     magic = MAGIC_NATIVE if native else MAGIC
     out.write(_HEADER.pack(magic, crc & 0xFFFFFFFF, len(payload), blocksize))
     if native:
@@ -47,8 +57,12 @@ def write_block(out, crc: int, payload: bytes, blocksize: int,
     out.write(payload)
 
 
-def read_block(inp):
-    """Read one framed block; returns (BlockHeader, payload) or None at EOF."""
+def read_block(inp, want_payload: bool = True):
+    """Read one framed block; returns (BlockHeader, payload) or None at EOF.
+
+    want_payload=False skips the payload (seek on seekable streams) and
+    returns payload=None — cheap block enumeration for multi-host work
+    division and `jam i`."""
     raw = inp.read(HEADER_SIZE)
     if len(raw) == 0:
         return None
@@ -73,6 +87,20 @@ def read_block(inp):
             raise ValueError("corrupt native anchor count")
         if lanes < 0 or lanes > (1 << 16):
             raise ValueError("corrupt native lane count")
+    if not want_payload:
+        # forward skip: seek when possible, bounded read otherwise
+        if inp.seekable():
+            pos = inp.tell()
+            inp.seek(0, 2)
+            end = inp.tell()
+            if end - pos < csize:
+                raise ValueError("truncated block payload")
+            inp.seek(pos + csize)
+        else:
+            skipped = len(inp.read(csize))
+            if skipped < csize:
+                raise ValueError("truncated block payload")
+        return BlockHeader(crc, csize, blocksize, units, lanes), None
     payload = inp.read(csize)
     if len(payload) < csize:
         raise ValueError("truncated block payload")

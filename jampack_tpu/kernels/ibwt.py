@@ -23,14 +23,6 @@ import numpy as np
 from ..format.constants import BWT_UNITS
 
 
-@partial(jax.jit, static_argnames=("nlen",))
-def _lf_map(bwt: jnp.ndarray, idx: jnp.ndarray, nlen: int) -> jnp.ndarray:
-    # stable argsort by symbol == counting-sort fill order of the reference;
-    # the primary-index adjustment is elementwise on the sorted positions
-    order = jnp.argsort(bwt, stable=True)
-    return order + (order >= idx).astype(jnp.int32)
-
-
 def combined_map_core(bwt: jnp.ndarray, idx: jnp.ndarray, nlen: int) -> jnp.ndarray:
     """C[j] = (LF[j] << 8) | emitted-byte-when-stepping-through-j.
 
@@ -72,23 +64,6 @@ def chase_combined_core(cmap: jnp.ndarray, anchors: jnp.ndarray, nlen: int,
 _chase_combined = partial(jax.jit, static_argnames=("nlen", "units"))(
     chase_combined_core
 )
-
-
-@partial(jax.jit, static_argnames=("nlen", "units"))
-def _chase(bwt: jnp.ndarray, lf: jnp.ndarray, anchors: jnp.ndarray,
-           idx: jnp.ndarray, nlen: int, units: int) -> jnp.ndarray:
-    step = nlen // units
-    out = jnp.zeros((step, units), dtype=jnp.uint8)
-
-    def body(i, carry):
-        p, out = carry
-        p = lf[p - 1]
-        sym = bwt[p - (p >= idx).astype(jnp.int32)]
-        out = jax.lax.dynamic_update_slice(out, sym[None, :], (i, 0))
-        return p, out
-
-    _, out = jax.lax.fori_loop(0, step, body, (anchors, out))
-    return out.T.reshape(-1)
 
 
 def inverse_bwt_tpu(buf: np.ndarray, units: int = BWT_UNITS) -> np.ndarray:

@@ -124,6 +124,13 @@ def decode_lanes_tpu(buf: np.ndarray, starts: np.ndarray,
 
     max_rlen = int(np.max(rlens)) if rlens.size else 0
     if max_rlen == 0:
+        # still enforce the final-state invariant (ans.cpp:91-92): an empty
+        # chain is exactly the 16 flushed state bytes, all == RANS_BYTE_L
+        buf_h = np.asarray(buf, dtype=np.uint8)
+        for s in np.asarray(starts, dtype=np.int64):
+            states = buf_h[s : s + 16].view("<u4")
+            if states.size < 4 or not np.all(states == RANS_BYTE_L):
+                raise ValueError("invalid rANS state")
         return np.zeros((len(starts), 0), dtype=np.uint16)
     syms, ok = decode_lanes_wide(
         jnp.asarray(np.asarray(buf, dtype=np.uint8)),

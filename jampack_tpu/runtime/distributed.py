@@ -53,11 +53,14 @@ def decompress_stream_part(inp, out_dir: str, process_id: int,
     with open(part_path, "wb") as out:
         index = 0
         while True:
-            rec = framing.read_block(inp)
+            mine = owner(index, process_count) == process_id
+            # skip non-owned payloads (seek, don't read): each host touches
+            # only ~1/P of the archive bytes
+            rec = framing.read_block(inp, want_payload=mine)
             if rec is None:
                 break
             header, payload = rec
-            if owner(index, process_count) == process_id:
+            if mine:
                 data = decompress_block(payload, header.crc, engine,
                                         header.blocksize, header.units,
                                         header.lanes)
@@ -71,28 +74,36 @@ def decompress_stream_part(inp, out_dir: str, process_id: int,
 
 
 def stitch(out_dir: str, out_path: str, process_count: int) -> int:
-    """Concatenate per-host parts in block order; returns total bytes."""
+    """Concatenate per-host parts in block order; returns total bytes.
+
+    Raises if the manifests do not cover a contiguous block range 0..N-1
+    (a host failed or ran with a different process_count)."""
+    from contextlib import ExitStack
+
     manifests = []
     for p in range(process_count):
         with open(os.path.join(out_dir, f"manifest{p}.json")) as f:
             m = json.load(f)
         manifests.append({int(k): v for k, v in m["sizes"].items()})
-    readers = [open(os.path.join(out_dir, f"part{p}"), "rb")
-               for p in range(process_count)]
+    n_blocks = sum(len(m) for m in manifests)
+    for index in range(n_blocks):
+        if index not in manifests[owner(index, process_count)]:
+            raise ValueError(
+                f"manifest gap at block {index}: a host part is missing or "
+                f"was produced with a different process count"
+            )
     total = 0
-    try:
-        with open(out_path, "wb") as out:
-            index = 0
-            remaining = sum(len(m) for m in manifests)
-            while remaining > 0:
-                p = owner(index, process_count)
-                size = manifests[p].pop(index, None)
-                if size is not None:
-                    out.write(readers[p].read(size))
-                    total += size
-                    remaining -= 1
-                index += 1
-    finally:
-        for r in readers:
-            r.close()
+    with ExitStack() as stack:
+        readers = [
+            stack.enter_context(
+                open(os.path.join(out_dir, f"part{p}"), "rb")
+            )
+            for p in range(process_count)
+        ]
+        out = stack.enter_context(open(out_path, "wb"))
+        for index in range(n_blocks):
+            p = owner(index, process_count)
+            size = manifests[p][index]
+            out.write(readers[p].read(size))
+            total += size
     return total

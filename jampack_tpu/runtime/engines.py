@@ -73,12 +73,23 @@ class HybridEngine(NativeEngine):
 
     name = "hybrid"
 
+    def _device_fits(self, nbytes: int) -> bool:
+        # the reference's GPU-offload gate (bwt.cpp:102-114): ~6 bytes of
+        # working set per input byte must fit in 80% of device memory
+        from .sysinfo import fits_on_device
+
+        return fits_on_device(nbytes)
+
     def bwt_forward(self, data, units=120):
+        if not self._device_fits(np.asarray(data).size):
+            return super().bwt_forward(data, units)
         from ..kernels.sa import forward_bwt_tpu
 
         return forward_bwt_tpu(data, units)
 
     def bwt_inverse(self, data, units=120):
+        if not self._device_fits(np.asarray(data).size):
+            return super().bwt_inverse(data, units)
         from ..kernels.ibwt import inverse_bwt_tpu
 
         return inverse_bwt_tpu(data, units)

@@ -2,9 +2,9 @@
 
 The reference caches core count, available memory, and CUDA presence/VRAM
 to clamp thread counts and decide GPU offload.  Here the accelerator side
-is jax.devices() and the host side is os/sysconf; the decode planner uses
-`fits_on_device` the way the reference uses its 80%-of-VRAM test
-(format.hpp:27, bwt.cpp:102-114).
+is jax.devices() and the host side is os/sysconf; HybridEngine gates its
+BWT device offload on `fits_on_device` the way the reference gates its
+CUDA path on the 80%-of-VRAM test (format.hpp:27, bwt.cpp:102-114).
 """
 
 import os

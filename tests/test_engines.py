@@ -88,10 +88,15 @@ def test_tpu_device_filter_search_mode_f3():
     assert back.getvalue() == data
 
 
-def test_hybrid_engine_roundtrip_and_interop():
+def test_hybrid_engine_roundtrip_and_interop(monkeypatch):
     import io
 
+    from jampack_tpu.runtime import sysinfo
     from jampack_tpu.runtime.engines import HybridEngine, NativeEngine
+
+    # force the device-fit gate open so the TPU BWT kernels are exercised
+    # on the CPU test backend (no accelerator -> the gate would fall back)
+    monkeypatch.setattr(sysinfo, "fits_on_device", lambda n, budget=0.8: True)
 
     rng = np.random.default_rng(11)
     data = (b"hybrid engine " * 3000
