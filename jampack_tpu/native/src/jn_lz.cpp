@@ -87,8 +87,10 @@ struct Chhm {
     ring[pos % ring_size] = u16(h);
     hist[h]++;
     if (pos >= ring_size) hist[old]--;
+    // cyclichhm.cpp:63 computes PreviousValue ^ value, but PreviousValue is
+    // never assigned after construction — the "XOR delta" is the raw value.
+    // Replicated as-is: the parsing decisions ARE the behavior contract.
     mod[(prev ^ u32(value)) % kSize]++;
-    prev = u32(value);
     pos++;
   }
 

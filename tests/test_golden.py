@@ -74,3 +74,27 @@ def test_jtx_encoder_reproduces_golden_bytes():
         engine=NativeEngine(),
     )
     assert arc.getvalue() == _read("golden_jtx_u960_L16_c256.jtx")
+
+
+@pytest.mark.parametrize("mode", ["-m1", "-m2"])
+def test_m1_m2_archives_match_reference_bytes(oracle, tmp_path, mode):
+    """The anti-context match finders (m1 hash chain, m2 suffix array) must
+    reproduce the reference's parsing decisions byte-for-byte — including
+    the CHHM's never-updated PreviousValue quirk (cyclichhm.cpp:63)."""
+    rng = np.random.default_rng(3)
+    rec = np.zeros((5000, 24), np.uint8)
+    rec[:, 0] = np.arange(5000) % 251
+    rec[:, 1:9] = (np.arange(5000)[:, None] * np.arange(1, 9)[None, :]) % 256
+    rec[:, 9:] = rng.integers(0, 12, (5000, 15))
+    src = tmp_path / "struct.bin"
+    src.write_bytes(rec.tobytes())
+
+    ref_jam = tmp_path / "ref.jam"
+    oracle.compress(src, ref_jam, mode, "-f1")
+
+    arc = io.BytesIO()
+    with open(src, "rb") as f:
+        compress_stream(f, arc, Options(filters=1,
+                                        match_finder=int(mode[2])),
+                        engine=NativeEngine())
+    assert arc.getvalue() == ref_jam.read_bytes()
