@@ -209,14 +209,20 @@ struct EntLut {
 };
 static const EntLut kEnt;
 
+// p == 1.0 would index one past the LUT; its entropy contribution is 0.
+// (The reference reads EntLog[EntScale] out of bounds there, utils.cpp:158
+// with utils.hpp:25 — UB, so its filter choice on single-symbol chunks is
+// unstable; we define the estimator deterministically instead.)
+static inline double ent_term(i64 f, i64 total) {
+  int pi = int((double(f) / double(total)) * (1 << 16));
+  return (pi >= (1 << 16)) ? 0.0 : kEnt.lg[pi] * double(f);
+}
+
 static double entropy_o0(const u8* p, i32 len) {
   i64 freqs[256] = {0};
   for (i32 i = 0; i < len; i++) freqs[p[i]]++;
   double e = 0;
-  for (int i = 0; i < 256; i++) {
-    int pi = int((double(freqs[i]) / double(len)) * (1 << 16));
-    e += kEnt.lg[pi] * double(freqs[i]);
-  }
+  for (int i = 0; i < 256; i++) e += ent_term(freqs[i], len);
   return e / double(len);
 }
 
@@ -235,8 +241,7 @@ static double entropy_o1(const u8* p, i32 len) {
     for (int i = 0; i < 256; i++) {
       i64 f = freqs[j * 256 + i];
       if (!f) continue;
-      int pi = int((double(f) / double(total[j])) * (1 << 16));
-      e += kEnt.lg[pi] * double(f);
+      e += ent_term(f, total[j]);
     }
   }
   return e / double(len);
