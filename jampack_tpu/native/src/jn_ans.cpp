@@ -247,7 +247,12 @@ bool rle0_decode(const u16* in, i32 len, u8* out, i32 real_len) {
       out[op++] = u8(in[i++] - 1);
     } else {
       i64 rle = 1;
-      while (i < len && in[i] <= 1) rle = (rle << 1) | in[i++];
+      while (i < len && in[i] <= 1) {
+        rle = (rle << 1) | in[i++];
+        // a legal run cannot exceed the output size; bail before the
+        // accumulator can overflow i64 on crafted bit streams
+        if (rle > i64(real_len) + 2) return false;
+      }
       rle -= 1;
       if (op + rle > real_len) return false;
       while (rle--) out[op++] = 0;
@@ -276,17 +281,20 @@ static inline void renc_flush(u32 r, u8** pp) {
   *pp = p;
 }
 
-static inline u32 rdec_init(const u8** pp) {
+static inline u32 rdec_init(const u8** pp, const u8* end) {
   const u8* p = *pp;
+  if (p + 4 > end) { *pp = end; return 0; }  // corrupt: fails state check
   u32 x = u32(p[0]) | (u32(p[1]) << 8) | (u32(p[2]) << 16) | (u32(p[3]) << 24);
   *pp = p + 4;
   return x;
 }
 
-static inline u32 rdec_advance(u32 x, const u8** pp, u32 start, u32 freq, u32 bits) {
+static inline u32 rdec_advance(u32 x, const u8** pp, const u8* end, u32 start,
+                               u32 freq, u32 bits) {
   u32 mask = (1u << bits) - 1;
   x = freq * (x >> bits) + (x & mask) - start;
-  while (x < kRansL) x = (x << 8) | *(*pp)++;
+  // corrupt streams must not renormalize past the chunk payload
+  while (x < kRansL && *pp < end) x = (x << 8) | *(*pp)++;
   return x;
 }
 
@@ -426,16 +434,17 @@ static i64 encode_chunk(const u8* in, i32 len, u8* out, i64 out_cap, Models& M,
 }
 
 // Decode one chunk payload (after its header) into out.
-static bool decode_chain(const u8* in, u16* syms, i32 cnt, Models& M) {
+static bool decode_chain(const u8* in, const u8* end, u16* syms, i32 cnt,
+                         Models& M) {
   M.reset();
   const u8* ptr = in;
   u32 R[4];
-  for (int i = 0; i < 4; i++) R[i] = rdec_init(&ptr);
+  for (int i = 0; i < 4; i++) R[i] = rdec_init(&ptr, end);
   for (i32 s = 0; s < cnt; s++) {
     u32 x = R[0];
     u32 rng = x & (kProbScale - 1);
     int e = M.expm.range_to_sym(rng);
-    x = rdec_advance(x, &ptr, u32(M.expm.cum[e]),
+    x = rdec_advance(x, &ptr, end, u32(M.expm.cum[e]),
                      u32(M.expm.cum[e + 1] - M.expm.cum[e]), kProbBits);
     M.expm.update(e);
     R[0] = R[1]; R[1] = R[2]; R[2] = R[3]; R[3] = x;
@@ -446,14 +455,14 @@ static bool decode_chain(const u8* in, u16* syms, i32 cnt, Models& M) {
     if (e < kSwitch) {
       Adaptive& a = M.mant_a[e];
       m = a.range_to_sym(rng);
-      x = rdec_advance(x, &ptr, u32(a.cum[m]), u32(a.cum[m + 1] - a.cum[m]),
-                       kProbBits);
+      x = rdec_advance(x, &ptr, end, u32(a.cum[m]),
+                       u32(a.cum[m + 1] - a.cum[m]), kProbBits);
       a.update(m);
     } else {
       Quasi& q = M.mant_q[e - kSwitch];
       m = q.r2s[rng];
-      x = rdec_advance(x, &ptr, u32(q.cum[m]), u32(q.cum[m + 1] - q.cum[m]),
-                       kProbBits);
+      x = rdec_advance(x, &ptr, end, u32(q.cum[m]),
+                       u32(q.cum[m + 1] - q.cum[m]), kProbBits);
       q.update(m);
     }
     R[0] = R[1]; R[1] = R[2]; R[2] = R[3]; R[3] = x;
@@ -466,12 +475,14 @@ static bool decode_chain(const u8* in, u16* syms, i32 cnt, Models& M) {
 static bool decode_chunk(const u8* in, u8* out, i32 olen, i32 rlen,
                          const i32* freq, Models& M, std::vector<u16>& rlebuf,
                          i32 lanes, i32 clen) {
+  const u8* chunk_end = in + clen;
   if (lanes >= 2) {
     const u8* p = in;
     std::vector<i32> lane_clens(lanes);
     i64 table = 0, total = 0;
     for (i32 l = 0; l < lanes; l++) {
-      int adv = var_decode(p, &lane_clens[l]);
+      int adv = var_decode_n(p, chunk_end - p, &lane_clens[l]);
+      if (adv < 0 || lane_clens[l] < 16 || lane_clens[l] > clen) return false;
       p += adv;
       table += adv;
       total += lane_clens[l];
@@ -480,12 +491,14 @@ static bool decode_chunk(const u8* in, u8* out, i32 olen, i32 rlen,
     std::vector<u16> lane_syms((rlen + lanes - 1) / lanes + 1);
     for (i32 l = 0; l < lanes; l++) {
       i32 cnt = (rlen - l + lanes - 1) / lanes;
-      if (!decode_chain(p, lane_syms.data(), cnt, M)) return false;
+      if (p + lane_clens[l] > chunk_end) return false;
+      if (!decode_chain(p, p + lane_clens[l], lane_syms.data(), cnt, M))
+        return false;
       for (i32 i = 0; i < cnt; i++) rlebuf[size_t(i) * lanes + l] = lane_syms[i];
       p += lane_clens[l];
     }
   } else {
-    if (!decode_chain(in, rlebuf.data(), rlen, M)) return false;
+    if (!decode_chain(in, chunk_end, rlebuf.data(), rlen, M)) return false;
   }
   if (!rle0_decode(rlebuf.data(), rlen, out, olen)) return false;
   return rank_decode(out, freq, olen);
@@ -535,15 +548,25 @@ int64_t jam_ans_decode(const uint8_t* in, int64_t n, uint8_t* out, int64_t cap,
   i64 ip = 0, op = 0;
   while (ip < n) {
     Chunk c;
-    for (int i = 0; i < 256; i++) ip += var_decode(in + ip, &c.freq[i]);
-    ip += var_decode(in + ip, &c.olen);
-    ip += var_decode(in + ip, &c.clen);
-    ip += var_decode(in + ip, &c.rlen);
+    int adv;
+    for (int i = 0; i < 256; i++) {
+      if ((adv = var_decode_n(in + ip, n - ip, &c.freq[i])) < 0) return -1;
+      ip += adv;
+    }
+    if ((adv = var_decode_n(in + ip, n - ip, &c.olen)) < 0) return -1;
+    ip += adv;
+    if ((adv = var_decode_n(in + ip, n - ip, &c.clen)) < 0) return -1;
+    ip += adv;
+    if ((adv = var_decode_n(in + ip, n - ip, &c.rlen)) < 0) return -1;
+    ip += adv;
     if (c.olen < 0 || c.olen > kAnsChunk || c.rlen < 0 || c.rlen > kAnsChunk)
       return -1;
+    // every chunk carries at least one 4-state flush (16 bytes); negative
+    // clen would rewind the scan into an infinite loop
+    if (c.clen < 16 || c.clen > n - ip) return -1;
     c.in_off = ip;
     c.out_off = op;
-    if (op + c.olen > cap || ip + c.clen > n) return -1;
+    if (op + c.olen > cap) return -1;
     chunks.push_back(c);
     ip += c.clen;
     op += c.olen;

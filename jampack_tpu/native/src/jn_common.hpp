@@ -51,15 +51,38 @@ inline int var_encode(i32 val, u8* buf) {
 }
 
 inline int var_decode(const u8* buf, i32* out) {
+  // legal encodings are <= 5 bytes; cap the scan so corrupt input can
+  // neither read unboundedly past the buffer nor index past kVarBase
   int d = 0;
-  i32 val = 0;
-  while ((buf[d] & 0x80) == 0) {
+  u32 val = 0;
+  while (d < 4 && (buf[d] & 0x80) == 0) {
     val = (val << 7) | buf[d];
     d++;
   }
+  if ((buf[d] & 0x80) == 0) {  // 5th byte missing its terminator: corrupt
+    *out = -1;
+    return 5;
+  }
   val = (val << 7) | (buf[d] & 0x7F);
-  if (d > 0) val += kVarBase[d - 1];
-  *out = val;
+  if (d > 0) val += u32(kVarBase[d - 1]);
+  *out = i32(val);
+  return d + 1;
+}
+
+// Bounded decode for untrusted streams: returns bytes consumed, or -1 if
+// the varint would run past `rem` remaining bytes or is malformed.
+inline int var_decode_n(const u8* buf, i64 rem, i32* out) {
+  if (rem <= 0) return -1;
+  int d = 0;
+  u32 val = 0;
+  while (d < 4 && d < rem && (buf[d] & 0x80) == 0) {
+    val = (val << 7) | buf[d];
+    d++;
+  }
+  if (d >= rem || (buf[d] & 0x80) == 0) return -1;
+  val = (val << 7) | (buf[d] & 0x7F);
+  if (d > 0) val += u32(kVarBase[d - 1]);
+  *out = i32(val);
   return d + 1;
 }
 

@@ -38,23 +38,33 @@ static i64 write_token(u8* out, i32 match, i32 literal, i32 offset) {
   return pos;
 }
 
-static i64 read_token(const u8* in, i32* match, i32* literal, i32* offset) {
+// Bounded token parse for the (untrusted) decode path: returns bytes
+// consumed or -1 on truncation/malformed varints/negative fields.
+static i64 read_token(const u8* in, i64 rem, i32* match, i32* literal,
+                      i32* offset) {
   i64 pos = 0;
+  if (rem < 1) return -1;
   u8 token = in[pos++];
-  pos += var_decode(in + pos, offset);
+  int adv = var_decode_n(in + pos, rem - pos, offset);
+  if (adv < 0) return -1;
+  pos += adv;
   *match = token >> 3;
   if (*match == 31) {
     i32 ext;
-    pos += var_decode(in + pos, &ext);
+    if ((adv = var_decode_n(in + pos, rem - pos, &ext)) < 0) return -1;
+    pos += adv;
     *match = ext + 31;
   }
   *match += kMinMatch;
   *literal = token & 7;
   if (*literal == 7) {
     i32 ext;
-    pos += var_decode(in + pos, &ext);
+    if ((adv = var_decode_n(in + pos, rem - pos, &ext)) < 0) return -1;
+    pos += adv;
     *literal = ext + 7;
   }
+  // oversized varints wrap i32 negative and would defeat the bounds math
+  if (*match < 0 || *literal < 0 || *offset < 0) return -1;
   return pos;
 }
 
@@ -149,6 +159,10 @@ static void emit_tokens(const u8* in, const Token* toks, i32 ntok,
   for (i32 i = 0; i < ntok; i++) {
     i32 match = toks[i].match, offset = toks[i].offset;
     i64 position = toks[i].position;
+    // both peak tests consult the OFFSET model — so does the reference
+    // (lz77.cpp:421 "ChhmOffset->FindPeaks(match)"); its ChhmMatch is
+    // built but never read.  Replicated: parsing decisions are format-
+    // visible behavior.
     if (chhm_off.peaks(offset) || chhm_off.peaks(match) || match > kDupeMatch) {
       i32 literal = i32(position - *bbpos);
       *out_pos += write_token(out + *out_pos, match, literal, offset);
@@ -199,6 +213,8 @@ static i64 encode_dedupe(const u8* in, i64 n, u8* out) {
       out_pos += lit;
       for (i64 i = 0; i < len; i++) {
         h = hash_val(cxt);
+        // the reference stores the fixed match start (not pos + i) for
+        // every rolled context here (lz77.cpp:603-607); replicated
         table[h] = i32(pos);
         cxt = (cxt << shift) ^ b[pos + kDupeMatch + i];
       }
@@ -234,6 +250,9 @@ static i64 encode_hashchain(const u8* in, i64 n, u8* out) {
       i64 back = 0, forward = 0, len = 0, off = 0;
       float lowest = 1.0f;
       for (int k = 0; k < kMinMatch; k++) {
+        // the reference hashes at `pos` for every lazy offset k
+        // (lz77.cpp:321), so all k iterations walk the same chain while
+        // comparing at pos+k.  Replicated for parse parity.
         u32 h = hash32(b + pos);
         if (table[h] > 0 && (pos + k) < n) {
           i64 cpos = pos + k;
@@ -369,7 +388,9 @@ static i64 decode(const u8* in, i64 n, u8* out, i64 cap) {
   i64 pos = 0, op = 0;
   while (pos < n) {
     i32 match, literal, offset;
-    pos += read_token(in + pos, &match, &literal, &offset);
+    i64 adv = read_token(in + pos, n - pos, &match, &literal, &offset);
+    if (adv < 0) return -1;
+    pos += adv;
     if (offset) {
       if (pos + literal > n || op + literal + match > cap) return -1;
       memcpy(out + op, in + pos, literal);

@@ -54,6 +54,10 @@ int64_t jam_bwt_inverse_u(const uint8_t* in, int64_t csize, uint8_t* out,
   memcpy(out + nlen, in + nlen, remainder);
   if (nlen == 0) return n;
 
+  // stream-supplied anchors are untrusted: every chain start (and the
+  // primary index anchors[0]) must be a valid 1-based position
+  for (int j = 0; j < units; j++)
+    if (anchors[j] < 1 || i64(anchors[j]) > nlen) return -1;
   i32 idx = anchors[0];
   // LF map: counting sort of BWT positions by symbol with +1 adjustment
   std::vector<i32> map(nlen);
@@ -76,7 +80,12 @@ int64_t jam_bwt_inverse_u(const uint8_t* in, int64_t csize, uint8_t* out,
   for (int t = 0; t < nthreads; t++) {
     for (i64 i = 0; i < step; i++) {
       for (int j = t * per; j < (t + 1) * per; j++) {
-        i32 pj = map[p[j] - 1];
+        // clamp the chase index so corrupt interior map values cannot read
+        // out of bounds (the block crc reports the corruption afterwards);
+        // map values are in [0, nlen] by construction, so in[] stays valid
+        u32 q = u32(p[j]) - 1;
+        if (q >= u32(nlen)) q = 0;
+        i32 pj = map[q];
         p[j] = pj;
         out[i + i64(j) * step] = in[pj - (pj >= idx)];
       }

@@ -143,3 +143,48 @@ def test_native_engine_vs_oracle(oracle, tmp_path):
     with open(jam2, "rb") as f:
         decompress_stream(f, out, engine=NativeEngine())
     assert out.getvalue() == data
+
+
+# ---- decoder hardening: crafted/corrupt inputs must fail cleanly ----
+
+def test_native_decoders_survive_garbage():
+    from jampack_tpu import native
+
+    rng = np.random.default_rng(0xDEAD)
+    for trial in range(30):
+        blob = rng.integers(0, 256, int(rng.integers(1, 5000)), dtype=np.uint8)
+        for fn in (
+            lambda b: native.ans_decode(b, 1 << 20, 0, 0),
+            lambda b: native.ans_decode(b, 1 << 20, 0, 8),
+            lambda b: native.lz_decode(b, 1 << 20),
+            lambda b: native.bwt_inverse(b, 0, 120),
+        ):
+            try:
+                fn(blob)
+            except ValueError:
+                pass
+
+
+def test_native_rle0_overflow_stream_rejected():
+    """64+ consecutive {0,1} RLE symbols must not overflow the run counter
+    into an out-of-bounds zero fill (crafted-chunk hardening)."""
+    from jampack_tpu import native
+    from jampack_tpu.stages.ans import encode_pairs, write_chunk_header
+
+    syms = np.ones(80, dtype=np.uint16)  # 80 run-extension bits
+    payload = encode_pairs(syms)
+    freqs = [0] * 256
+    freqs[0] = 100
+    blob = write_chunk_header(freqs, 100, len(payload), 80) + payload
+    with pytest.raises(ValueError):
+        native.ans_decode(np.frombuffer(blob, np.uint8), 1 << 20, 0, 0)
+
+
+def test_native_bwt_inverse_bad_anchors_rejected():
+    from jampack_tpu import native
+
+    good = native.bwt_forward(np.arange(240, dtype=np.uint8) % 251, 120)
+    bad = good.copy()
+    bad[-480:] = 0xFF  # absurd anchor block
+    with pytest.raises(ValueError):
+        native.bwt_inverse(bad, 0, 120)
