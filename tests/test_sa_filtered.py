@@ -1,0 +1,31 @@
+"""Filtered prefix doubling vs the executable-spec suffix array."""
+
+import numpy as np
+import pytest
+
+from jampack_tpu.kernels.sa_filtered import suffix_array_tpu_filtered
+from jampack_tpu.stages.bwt import suffix_array
+
+RNG = np.random.default_rng(99)
+
+
+def cases():
+    yield np.zeros(0, np.uint8)
+    yield np.asarray([7], np.uint8)
+    yield RNG.integers(0, 256, 10000, np.uint8)
+    yield np.zeros(5000, np.uint8)
+    yield np.tile(np.arange(9, dtype=np.uint8), 2000)
+    yield RNG.integers(0, 2, 30000, np.uint8).astype(np.uint8)  # binary alpha
+    yield np.repeat(RNG.integers(0, 5, 200),
+                    RNG.integers(1, 400, 200)).astype(np.uint8)  # runs
+    # fibonacci string: worst-case overlapping-repeat structure
+    s, t = b"a", b"ab"
+    while len(t) < 20000:
+        s, t = t, t + s
+    yield np.frombuffer(t[:20000], np.uint8)
+
+
+@pytest.mark.parametrize("idx", range(8))
+def test_filtered_matches_spec(idx):
+    data = list(cases())[idx]
+    assert np.array_equal(suffix_array_tpu_filtered(data), suffix_array(data))
