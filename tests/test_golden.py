@@ -98,3 +98,68 @@ def test_m1_m2_archives_match_reference_bytes(oracle, tmp_path, mode):
                                         match_finder=int(mode[2])),
                         engine=NativeEngine())
     assert arc.getvalue() == ref_jam.read_bytes()
+
+
+@pytest.mark.parametrize("flags", [("-f0",), ("-f2",), ("-m1", "-f2")])
+def test_flag_matrix_archives_match_reference_bytes(oracle, tmp_path, flags):
+    """Distilled from the 42-combo sweep: encoder byte parity holds across
+    filter and match-finder combinations on mixed content."""
+    rng = np.random.default_rng(17)
+    data = (
+        ((np.arange(6000, dtype=np.int64) * 7) % 253).astype(np.uint8).tobytes()
+        + bytes(rng.integers(0, 256, 20000, dtype=np.uint8))
+        + b"the reference is the spec " * 800
+        + bytes(8000)
+    )
+    src = tmp_path / "mix.bin"
+    src.write_bytes(data)
+    ref_jam = tmp_path / "ref.jam"
+    oracle.compress(src, ref_jam, *flags)
+
+    mf = next((int(f[2]) for f in flags if f.startswith("-m")), 0)
+    fl = next((int(f[2]) for f in flags if f.startswith("-f")), 1)
+    arc = io.BytesIO()
+    with open(src, "rb") as f:
+        compress_stream(f, arc, Options(filters=fl, match_finder=mf),
+                        engine=NativeEngine())
+    assert arc.getvalue() == ref_jam.read_bytes()
+
+
+def test_m2_survives_input_that_segfaults_reference(oracle, tmp_path):
+    """The reference's -m2 forward-match scan can run past its 1.05x buffer
+    slack and segfault (observed on this exact input); our m2 bounds the
+    scan by cpos (ppos < cpos) and must both survive and stay
+    reference-decodable."""
+    import subprocess
+
+    rng = np.random.default_rng(17)
+    data = (
+        ((np.arange(6000, dtype=np.int64) * 7) % 253).astype(np.uint8).tobytes()
+        + bytes(rng.integers(0, 256, 20000, dtype=np.uint8))
+        + b"the reference is the spec " * 800
+        + bytes(8000)
+    )
+    src = tmp_path / "mix.bin"
+    src.write_bytes(data)
+
+    arc = io.BytesIO()
+    with open(src, "rb") as f:
+        compress_stream(f, arc, Options(filters=1, match_finder=2),
+                        engine=NativeEngine())
+    out = io.BytesIO()
+    decompress_stream(io.BytesIO(arc.getvalue()), out, engine=NativeEngine())
+    assert out.getvalue() == data
+
+    jam = tmp_path / "ours.jam"
+    jam.write_bytes(arc.getvalue())
+    back = tmp_path / "back.bin"
+    oracle.decompress(jam, back)
+    assert back.read_bytes() == data
+
+    # document the reference behavior (skip silently if it was fixed)
+    ref_jam = tmp_path / "ref.jam"
+    proc = subprocess.run(
+        [oracle.path, "c", str(src), str(ref_jam), "-m2", "-f1", "-t1"],
+        capture_output=True,
+    )
+    assert proc.returncode != 0 or ref_jam.stat().st_size > 0
