@@ -21,16 +21,22 @@ fetched to pick full/subset/recompact transitions and the bucket size.
 The single-jit sa_doubling_core (sa.py) remains for fully-fused callers
 (the sharded codec step); both produce the identical suffix array.
 
-STATUS — measured on the tunneled v5e and NOT wired into the default path:
-the per-round host sync costs more than the subset rounds save (text-like
-8 MB: 0.23 s vs 0.08 s plain), and on fully periodic worst cases the tie
-count stays above any useful threshold until k reaches the period, so
-filtering never engages (2.8 s vs 1.96 s plain).  The win case — moderate
-plateauing LCPs with sub-millisecond dispatch on a directly attached
-chip — is exactly what a device-resident lax.cond full/subset switch
-would serve; kept here, correctness-proven against the spec on
-binary-alphabet, run-heavy, and Fibonacci-string inputs, as the starting
-point for that round-2 variant.
+STATUS — measured on the tunneled v5e and NOT wired into the default path.
+Both formulations lose to plain doubling here, for different reasons:
+
+  * host-orchestrated (sa_filtered): two ~25 ms dispatches per round sink
+    it (text-like 8 MB: 0.23 s vs 0.08 s plain);
+  * device-resident (sa_doubling_filtered_core, single while_loop with a
+    scalar lax.cond full/subset switch): the cond boundary materializes
+    copies of the big carried arrays every round on this backend, costing
+    more than the subset rounds save (plateau-LCP corpus: 1.56 s vs
+    0.74 s plain; periodic worst case: 5.2 s vs 2.0 s).
+
+On fully periodic data the tie count additionally stays above any useful
+threshold until k reaches the period, so filtering cannot engage at all.
+Both variants are correctness-proven against the spec (binary alphabets,
+run-heavy, Fibonacci strings) and kept as groundwork: the approach needs
+either cond-free carry aliasing or a Pallas formulation to pay off.
 """
 
 from functools import partial
@@ -198,3 +204,59 @@ def suffix_array_tpu_filtered(t: np.ndarray) -> np.ndarray:
         return np.zeros(1, dtype=np.int32)
     order, _, _ = sa_filtered(t)
     return np.asarray(jax.device_get(order), dtype=np.int32)
+
+
+def sa_doubling_filtered_core(t: jnp.ndarray, n: int):
+    """Device-resident filtered doubling: one while_loop whose body picks a
+    full round or a compacted-subset round with a scalar lax.cond, so the
+    filtering pays no per-round host dispatch (~25 ms each on the tunnel,
+    which sinks the host-orchestrated sa_filtered).  Single static bucket
+    M = n//8; the subset is compacted once, on first entry.
+
+    Returns (order, rank=ISA, prev_sorted) — identical to sa_doubling_core.
+    """
+    M = max(n // 8, 1)
+    t32 = t.astype(jnp.int32)
+    prev_pos = jnp.concatenate([t32[n - 1 :], t32[: n - 1]])
+    order, rank, prev_sorted, tied, m = init_pass(t, n)
+
+    def cond(c):
+        return jnp.logical_and(c["m"] > 0, c["k"] < 2 * n)
+
+    def full_branch(c):
+        order, rank, prev_sorted, tied, m = full_round(
+            c["k"], c["order"], c["rank"], prev_pos, n
+        )
+        return dict(c, order=order, rank=rank, prev=prev_sorted, tied=tied,
+                    m=m, k=c["k"] * 2)
+
+    def subset_branch(c):
+        idxs = jax.lax.cond(
+            c["have_idxs"],
+            lambda _: c["idxs"],
+            lambda _: compact_full(c["tied"], n, M),
+            None,
+        )
+        order, rank, prev_sorted, _, m = subset_round(
+            c["k"], idxs, c["order"], c["rank"], c["prev"], n, M
+        )
+        return dict(c, order=order, rank=rank, prev=prev_sorted, m=m,
+                    idxs=idxs, have_idxs=jnp.bool_(True), k=c["k"] * 2)
+
+    def body(c):
+        return jax.lax.cond(
+            c["m"] <= M, subset_branch, full_branch, c
+        )
+
+    carry = dict(
+        order=order, rank=rank, prev=prev_sorted, tied=tied, m=m,
+        idxs=jnp.zeros(M, jnp.int32), have_idxs=jnp.bool_(False),
+        k=jnp.int32(4 * _INIT_WORDS),
+    )
+    carry = jax.lax.while_loop(cond, body, carry)
+    return carry["order"], carry["rank"], carry["prev"]
+
+
+_sa_doubling_filtered = partial(jax.jit, static_argnames=("n",))(
+    sa_doubling_filtered_core
+)

@@ -29,3 +29,22 @@ def cases():
 def test_filtered_matches_spec(idx):
     data = list(cases())[idx]
     assert np.array_equal(suffix_array_tpu_filtered(data), suffix_array(data))
+
+
+@pytest.mark.parametrize("idx", range(8))
+def test_device_resident_filtered_matches_spec(idx):
+    import jax
+    import jax.numpy as jnp
+
+    from jampack_tpu.kernels.sa_filtered import _sa_doubling_filtered
+
+    data = list(cases())[idx]
+    if data.size < 2:
+        return
+    order, isa, _ = _sa_doubling_filtered(jnp.asarray(data), int(data.size))
+    want = suffix_array(data)
+    assert np.array_equal(np.asarray(jax.device_get(order)), want)
+    assert np.array_equal(
+        np.asarray(jax.device_get(isa)),
+        np.argsort(want, kind="stable").astype(np.int32),
+    )
