@@ -132,12 +132,28 @@ def decode_lanes_tpu(buf: np.ndarray, starts: np.ndarray,
             if states.size < 4 or not np.all(states == RANS_BYTE_L):
                 raise ValueError("invalid rANS state")
         return np.zeros((len(starts), 0), dtype=np.uint16)
+
+    # bucket every shape to a power of two so compile variants stay bounded;
+    # the kernel's loop bound is traced, so width padding costs no steps and
+    # rlens = -1 marks batch-padding lanes
+    def _pow2(v: int) -> int:
+        return 1 << max(int(v) - 1, 1).bit_length()
+
+    L = len(starts)
+    Lp = _pow2(L)
+    buf_h = np.asarray(buf, dtype=np.uint8)
+    buf_p = np.zeros(_pow2(buf_h.size + 16), dtype=np.uint8)
+    buf_p[: buf_h.size] = buf_h
+    starts_p = np.zeros(Lp, dtype=np.int32)
+    starts_p[:L] = starts
+    rlens_p = np.full(Lp, -1, dtype=np.int32)
+    rlens_p[:L] = rlens
     syms, ok = decode_lanes_wide(
-        jnp.asarray(np.asarray(buf, dtype=np.uint8)),
-        jnp.asarray(starts, dtype=jnp.int32),
-        jnp.asarray(rlens, dtype=jnp.int32),
-        max_rlen,
+        jnp.asarray(buf_p),
+        jnp.asarray(starts_p),
+        jnp.asarray(rlens_p),
+        _pow2(max_rlen),
     )
     if not bool(jnp.all(ok)):
         raise ValueError("invalid rANS state")
-    return np.asarray(jax.device_get(syms))
+    return np.asarray(jax.device_get(syms))[:L]

@@ -222,7 +222,11 @@ def decode_lanes_wide(buf: jnp.ndarray, starts: jnp.ndarray,
         return (R, ptr, exp_cum, ma_cum, q_cum, q_freqs, q_seen, q_exp, syms)
 
     init = (R, ptr, exp_cum, ma_cum, q_cum, q_freqs, q_seen, q_exp, syms)
-    out = jax.lax.fori_loop(0, max_rlen, body, init)
+    # traced bound: max_rlen is only the (bucketed) output width, so shape
+    # padding costs zero loop steps and compile variants stay bounded
+    steps = jnp.minimum(jnp.maximum(jnp.max(rlens), 0), max_rlen)
+    out = jax.lax.fori_loop(0, steps, body, init)
     R, syms = out[0], out[-1]
-    ok = jnp.all(R == jnp.uint32(RANS_BYTE_L), axis=1)
+    # rlens < 0 marks batch-padding lanes (no chain there at all)
+    ok = jnp.all(R == jnp.uint32(RANS_BYTE_L), axis=1) | (rlens < 0)
     return syms, ok
