@@ -41,24 +41,41 @@ def make_mesh(n_devices=None):
 
 
 def codec_block_step(block):
-    """Full TPU transform cycle on one fixed-size block: forward BWT (suffix
-    sort + emission + anchor planting) then inverse (LF map + 120-chain
-    chase).  Returns (reconstruction, bwt, checksum-ish metric).  This is the
-    flagship jittable compute step of the framework; it composes the same
-    traceable cores the single-chip kernels jit (kernels/sa.py, ibwt.py)."""
+    """Full TPU transform cycle on one fixed-size block: Lpx XOR-prediction
+    encode, forward BWT (suffix sort + emission + anchor planting), then
+    the inverses (LF map + 120-chain chase, Lpx decode).  Returns
+    (reconstruction, bwt, checksum-ish metric).  This is the flagship
+    jittable compute step of the framework; it composes the same traceable
+    cores the single-chip kernels jit (kernels/sa.py, ibwt.py, lpx_tpu.py)."""
     from ..kernels.ibwt import chase_combined_core, combined_map_core
+    from ..kernels.lpx_tpu import _code_span
     from ..kernels.sa import bwt_from_prev_sorted, sa_doubling_core
 
     n = block.shape[0]
     units = 120 if n % 120 == 0 else 1
     step = n // units
 
-    sa, isa, prev_sorted = sa_doubling_core(block, n)
+    # Lpx: 4 equal spans in lockstep (lpx.cpp:150-169); require 4 | n for
+    # the jittable step (the host wrappers handle ragged spans)
+    def lpx(buf, decode):
+        if n % 4 != 0 or n < 4:
+            return buf
+        spans = buf.reshape(4, n // 4)
+        lens = jnp.full(4, n // 4, jnp.int32)
+        out = jax.vmap(lambda s, ln: _code_span(s, ln, n // 4, decode))(
+            spans, lens
+        )
+        return out.reshape(n)
+
+    filtered = lpx(block, decode=False)
+
+    sa, isa, prev_sorted = sa_doubling_core(filtered, n)
     bwt = bwt_from_prev_sorted(prev_sorted, isa[0], n)
     anchors = isa[: units * step : step] + 1  # ISA[u*step]+1, bwt.cpp:44-48
 
     cmap = combined_map_core(bwt, anchors[0], n)
-    recon = chase_combined_core(cmap, anchors, n, units)
+    recon_f = chase_combined_core(cmap, anchors, n, units)
+    recon = lpx(recon_f, decode=True)
     metric = jnp.sum(bwt.astype(jnp.uint32))
     return recon, bwt, metric
 
