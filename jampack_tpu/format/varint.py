@@ -31,6 +31,11 @@ def encode_leb128(val: int) -> bytes:
     """Encode a non-negative int; returns the encoded bytes."""
     if val < 0:
         raise ValueError("cannot encode a negative number")
+    if val >= CONSTANTS[3] + (1 << 35):
+        # the 5-byte payload carries 35 bits past the length-4 base; beyond
+        # that the masks below would silently truncate (the reference's
+        # 32-bit Index type cannot reach this range at all)
+        raise ValueError("value out of varint range")
     n = size_of_value(val)
     if n > 1:
         val -= CONSTANTS[n - 2]
@@ -46,7 +51,7 @@ def decode_leb128(buf, pos: int = 0):
     d = 0
     val = 0
     while (buf[pos + d] & 0x80) == 0:
-        if d > 4:
+        if d >= 4:
             raise ValueError("LEB128 value longer than the type supports")
         val = (val << 7) | buf[pos + d]
         d += 1

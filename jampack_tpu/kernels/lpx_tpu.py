@@ -53,42 +53,45 @@ def _update_table(tbl, cxt, pos, order):
     match = gate & (cxt_t[t, lp] == ls)
     mismatch = gate & (cxt_t[t, lp] != ls)
 
-    # ---- match branch
+    # ---- primary-record updates (always the entry order's record)
     new_pos = jnp.where(match, pos - o, pos_t[t, lp])
     new_hits = jnp.where(match, hits_t[t, lp] + 1, hits_t[t, lp])
-    new_miss_m = jnp.where(match, 0, miss_t[t, lp])
-    o_down = match & (new_hits > ((thr_t[t, lp] << o) << 3)) & (o > 1) & (o <= 3)
-    # the threshold mix uses the order AFTER the adjustment (lpx.cpp order)
-    o_m = jnp.where(o_down, o - 1, o)
-    thr_up = match & (new_hits > (thr_t[t, lp] << 1))  # miss just reset to 0
-    new_thr = jnp.where(thr_up, thr_t[t, lp] + ((bound - thr_t[t, lp]) >> o_m),
-                        thr_t[t, lp])
-
-    # ---- mismatch branch
+    new_miss = jnp.where(match, 0, miss_t[t, lp])
     new_hits = jnp.where(mismatch, hits_t[t, lp] >> 2, new_hits)
-    new_miss = jnp.where(mismatch, miss_t[t, lp] + 1, new_miss_m)
+    new_miss = jnp.where(mismatch, miss_t[t, lp] + 1, new_miss)
     new_cxt = jnp.where(mismatch, ls, cxt_t[t, lp])
+
+    o_down = match & (new_hits > ((thr_t[t, lp] << o) << 3)) & (o > 1) & (o <= 3)
     o_up = (
         mismatch
         & (new_miss > thr_t[t, lp] * thr_t[t, lp] * o)
         & (o >= 1) & (o < 3)
     )
-    o_mm = jnp.where(o_up, o + 1, o)
-    thr_up2 = mismatch & (new_miss > thr_t[t, lp])
-    new_thr = jnp.where(
-        thr_up2,
-        new_thr + ((LPX_MAX_THRESHOLD - new_thr) >> (4 - o_mm)),
-        new_thr,
-    )
+    new_order = jnp.where(o_down, o - 1, jnp.where(o_up, o + 1, o))
 
     tbl = (
         cxt_t.at[t, lp].set(new_cxt),
         pos_t.at[t, lp].set(new_pos),
         hits_t.at[t, lp].set(new_hits),
         miss_t.at[t, lp].set(new_miss),
-        thr_t.at[t, lp].set(new_thr),
+        thr_t,
     )
-    new_order = jnp.where(o_down, o - 1, jnp.where(o_up, o + 1, o))
+
+    # ---- trailing threshold update: the reference re-dereferences *order
+    # (lpx.cpp:29-52), so this reads/writes the POST-adjustment order's
+    # record for the same leading prefix, shifted by the new order
+    cxt_t, pos_t, hits_t, miss_t, thr_t = tbl
+    tn = new_order - 1
+    thr_up = match & (hits_t[tn, lp] > (thr_t[tn, lp] << 1)) & (
+        miss_t[tn, lp] == 0
+    )
+    thr_m = thr_t[tn, lp] + ((bound - thr_t[tn, lp]) >> new_order)
+    thr_up2 = mismatch & (miss_t[tn, lp] > thr_t[tn, lp])
+    thr_mm = thr_t[tn, lp] + (
+        (LPX_MAX_THRESHOLD - thr_t[tn, lp]) >> (4 - new_order)
+    )
+    new_thr = jnp.where(thr_up, thr_m, jnp.where(thr_up2, thr_mm, thr_t[tn, lp]))
+    tbl = (cxt_t, pos_t, hits_t, miss_t, thr_t.at[tn, lp].set(new_thr))
     return tbl, new_order
 
 

@@ -5,7 +5,7 @@ adaptive + 6 quasi mantissa models, ans.cpp:136-140 semantics) lives here as
 a pytree of fixed-shape arrays so both the decode kernel (searchsorted
 symbol lookup) and the encode kernel (known-symbol table lookup) share one
 bit-exact update implementation (model.cpp:60-77 adaptive CDF mixing,
-model.cpp:160-204 quasi rescale including the C int32 wrap regime).
+model.cpp:160-204 quasi rescale in exact unsigned arithmetic).
 """
 
 import jax
@@ -149,10 +149,10 @@ def mant_update(bank, ei, qi, is_adaptive, m_a, m_q):
         )
         f = jnp.where(lanes, (qf >> logv) + 1, 0)
         t2 = jnp.sum(f)
-        # C-int32 wrap semantics of ProbScale * f / total (model.cpp:183):
-        # int32 shift wraps exactly like C, and lax.div truncates toward 0
-        prod = f << PROB_BITS
-        q = jax.lax.div(prod, t2)
+        # model.cpp:183 is UNSIGNED arithmetic (ProbScale is unsigned int)
+        # and the product never exceeds 2^32: exact uint32 divide
+        prod = f.astype(jnp.uint32) << PROB_BITS
+        q = (prod // t2.astype(jnp.uint32)).astype(jnp.int32)
         q = q.at[0].add(PROB_SCALE - jnp.sum(q * lanes))
         q = jnp.where(lanes, q, 0)
         cum = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(q)])

@@ -10,8 +10,8 @@ this step") so its cost is paid only on the steps that need it — early in
 a chunk while the update period is still doubling (model.cpp:160-204),
 then once per 64K quasi symbols per lane.
 
-Bit-exact with rans_common / stages.models: int32 mixing shifts, the C
-int32 wrap regime in the rescale, truncating division, byte-renorm order.
+Bit-exact with rans_common / stages.models: int32 mixing shifts, the
+unsigned rescale stretch, truncating division, byte-renorm order.
 Lanes of unequal length freeze (no byte consumption, no model updates)
 once exhausted so their final-state invariant still holds.
 """
@@ -181,8 +181,9 @@ def decode_lanes_wide(buf: jnp.ndarray, starts: jnp.ndarray,
                 logv += (((total >> logv) + alpha) > PROB_SCALE).astype(jnp.int32)
             f = jnp.where(lanes, (qf >> logv[:, None]) + 1, 0)
             t2 = jnp.sum(f, axis=1)
-            prod = f << PROB_BITS                      # C int32 wrap regime
-            q = jax.lax.div(prod, t2[:, None])
+            # model.cpp:183 is UNSIGNED arithmetic; product < 2^32: exact
+            prod = f.astype(jnp.uint32) << PROB_BITS
+            q = (prod // t2[:, None].astype(jnp.uint32)).astype(jnp.int32)
             fix = PROB_SCALE - jnp.sum(q * lanes, axis=1)
             q = q.at[:, 0].add(fix)
             q = jnp.where(lanes, q, 0)

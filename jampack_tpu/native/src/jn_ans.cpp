@@ -68,7 +68,7 @@ struct Adaptive {
   }
 };
 
-// ---- quasi-static model (model.cpp:115-235 semantics, incl. int wrap) ----
+// ---- quasi-static model (model.cpp:115-235 semantics) ----
 struct Quasi {
   int alpha = 0;
   int seen = 0, exp = 8;
@@ -85,15 +85,8 @@ struct Quasi {
   void rebuild_lut() {
     cum[0] = 0;
     for (int i = 0; i < alpha; i++) cum[i + 1] = cum[i] + freqs[i];
-    // clamp the fill range: in the wrapped-arithmetic regime (see update())
-    // cum can stray outside [0, kProbScale); the reference would overflow
-    // its LUT here — we clamp, matching the Python spec's degenerate path
-    for (int s = 0; s < alpha; s++) {
-      i32 lo = cum[s] < 0 ? 0 : (cum[s] > kProbScale ? kProbScale : cum[s]);
-      i32 hi = cum[s + 1] < 0 ? 0
-               : (cum[s + 1] > kProbScale ? kProbScale : cum[s + 1]);
-      for (i32 i = lo; i < hi; i++) r2s[i] = u16(s);
-    }
+    for (int s = 0; s < alpha; s++)
+      for (i32 i = cum[s]; i < cum[s + 1]; i++) r2s[i] = u16(s);
   }
   void reset() {
     seen = 0;
@@ -112,8 +105,10 @@ struct Quasi {
       while (((total >> lg) + alpha) > kProbScale) lg++;
       total = 0;
       for (int i = 0; i < alpha; i++) total += freqs[i] = (freqs[i] >> lg) + 1;
+      // model.cpp:183 is UNSIGNED arithmetic (ProbScale is unsigned int)
+      // and the product never exceeds 2^32: exact, always >= 1
       for (int i = 0; i < alpha; i++)
-        freqs[i] = i32(u32(kProbScale) * u32(freqs[i])) / total;  // C int wrap
+        freqs[i] = i32((u32(kProbScale) * u32(freqs[i])) / u32(total));
       i32 t2 = 0;
       for (int i = 0; i < alpha; i++) t2 += freqs[i];
       freqs[0] += kProbScale - t2;

@@ -46,22 +46,30 @@ static inline void update(Tables& tb, u32 cxt, u32 pos, u8* order) {
                   ? kMinThreshold
                   : (distance > upper ? upper : distance);
 
+  // The reference re-dereferences *order at every use (lpx.cpp:29-52):
+  // after order changes, the trailing threshold update reads/writes the
+  // NEW order's record for the same leading prefix, shifted by the new
+  // order.  Replicated exactly.
   if (pos > o) {
     if (r.cxt == ls) {
       r.pos = pos - o;
       r.hits++;
       r.miss = 0;
       if (r.hits > u32((r.threshold << o) << 3) && o > 1 && o <= 3) (*order)--;
-      if (r.hits > u32(r.threshold << 1) && r.miss == 0)
-        r.threshold += (bound - r.threshold) >> o;
+      u8 on = *order;
+      Record& rn = tb.t[on - 1][lp];
+      if (rn.hits > u32(rn.threshold << 1) && rn.miss == 0)
+        rn.threshold += (bound - rn.threshold) >> on;
     } else {
       r.hits >>= 2;
       r.miss++;
       r.cxt = ls;
       if (r.miss > u32(r.threshold * r.threshold * o) && o >= 1 && o < 3)
         (*order)++;
-      if (r.miss > u32(r.threshold))
-        r.threshold += (kMaxThreshold - r.threshold) >> (4 - o);
+      u8 on = *order;
+      Record& rn = tb.t[on - 1][lp];
+      if (rn.miss > u32(rn.threshold))
+        rn.threshold += (kMaxThreshold - rn.threshold) >> (4 - on);
     }
   }
 }

@@ -122,10 +122,10 @@ def encode_pairs(syms) -> bytes:
         lows[sptr + 1] = mm.sym_to_low(m)
         fqs[sptr + 1] = mm.sym_to_freq(m)
         if fqs[sptr] <= 0 or fqs[sptr + 1] <= 0:
-            # Failure parity with the reference: pathologically skewed quasi
-            # tables wrap C int arithmetic during the rescale (model.cpp:183)
-            # and the reference aborts on its own assert here (ans.cpp:162-184).
-            # Such chunks have no decodable ref-compatible encoding.
+            # Safety invariant mirroring the reference's debug asserts
+            # (ans.cpp:162-184).  With the unsigned rescale semantics
+            # (model.cpp:183) quasi frequencies are always >= 1, so this
+            # should be unreachable; it guards against model-state bugs.
             raise ValueError("model failure (CDF): chunk not encodable in ref-compat mode")
         mm.update(m)
         sptr += 2

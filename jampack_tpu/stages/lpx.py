@@ -50,6 +50,10 @@ def _update_table(tb: _Tables, cxt: int, pos: int, order: int) -> int:
 
     bound = lower if distance <= lower else (upper if distance > upper else distance)
 
+    # The reference re-dereferences *order at every use (lpx.cpp:29-52), so
+    # after an order[0]--/++ the trailing threshold check reads AND writes
+    # the NEW order's record for the same leading prefix, not the record
+    # that was just updated.
     if pos > o:
         if tb.cxt[t][lp] == ls:
             tb.pos[t][lp] = pos - o
@@ -61,8 +65,9 @@ def _update_table(tb: _Tables, cxt: int, pos: int, order: int) -> int:
                 and o <= 3
             ):
                 o -= 1
-            if tb.hits[t][lp] > (tb.threshold[t][lp] << 1) and tb.miss[t][lp] == 0:
-                tb.threshold[t][lp] += (bound - tb.threshold[t][lp]) >> o
+            tn = o - 1
+            if tb.hits[tn][lp] > (tb.threshold[tn][lp] << 1) and tb.miss[tn][lp] == 0:
+                tb.threshold[tn][lp] += (bound - tb.threshold[tn][lp]) >> o
         else:
             tb.hits[t][lp] >>= 2
             tb.miss[t][lp] += 1
@@ -73,8 +78,9 @@ def _update_table(tb: _Tables, cxt: int, pos: int, order: int) -> int:
                 and o < 3
             ):
                 o += 1
-            if tb.miss[t][lp] > tb.threshold[t][lp]:
-                tb.threshold[t][lp] += (LPX_MAX_THRESHOLD - tb.threshold[t][lp]) >> (4 - o)
+            tn = o - 1
+            if tb.miss[tn][lp] > tb.threshold[tn][lp]:
+                tb.threshold[tn][lp] += (LPX_MAX_THRESHOLD - tb.threshold[tn][lp]) >> (4 - o)
     return o
 
 

@@ -75,19 +75,9 @@ class QuasiModel:
         self.cum_freqs[0] = 0
         np.cumsum(self.freqs, out=self.cum_freqs[1:])
         assert self.cum_freqs[self.alpha] == PROB_SCALE
-        if (self.freqs >= 0).all():
-            self.range_to_symbol = np.repeat(
-                np.arange(self.alpha, dtype=np.uint16), self.freqs
-            )
-        else:
-            # Degenerate wrapped-arithmetic case (see update()): replicate the
-            # C fill loop exactly — negative-width spans write nothing and the
-            # previous LUT contents survive in uncovered slots (model.cpp:197-199).
-            for sym in range(self.alpha):
-                lo, hi = int(self.cum_freqs[sym]), int(self.cum_freqs[sym + 1])
-                lo, hi = max(lo, 0), min(hi, PROB_SCALE)
-                if hi > lo:
-                    self.range_to_symbol[lo:hi] = sym
+        self.range_to_symbol = np.repeat(
+            np.arange(self.alpha, dtype=np.uint16), self.freqs
+        )
 
     def reset(self):
         self.seen = 0
@@ -117,12 +107,12 @@ class QuasiModel:
                 log += 1
             f = (self.freqs >> log) + 1
             total = int(f.sum())
-            # Stretch up exactly as C int arithmetic does: the product
-            # ProbScale * f wraps at 32 bits for extremely skewed tables and
-            # the division truncates toward zero (model.cpp:183).
-            prod = f.astype(np.int64) << PROB_BITS
-            prod = ((prod + (1 << 31)) & 0xFFFFFFFF) - (1 << 31)
-            q = np.where(prod >= 0, prod // total, -((-prod) // total))
+            # Stretch up (model.cpp:183): ProbScale is unsigned int in the
+            # reference, so ProbScale * Freqs[i] / Total is UNSIGNED 32-bit
+            # arithmetic — and since every scaled f <= ProbScale - alpha + 1,
+            # the product never exceeds 2^32: plain exact integer math.
+            # Every stretched frequency is >= 1 (f >= 1, total <= ProbScale).
+            q = (f.astype(np.int64) << PROB_BITS) // total
             f = q.astype(np.int32)
             f[0] += PROB_SCALE - int(f.sum())
             self.freqs = f

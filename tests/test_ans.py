@@ -39,7 +39,7 @@ def test_quasi_model_invariants():
 
 
 def test_quasi_model_skewed_rescale():
-    # hammer one symbol to push the stretch-up toward the int32 wrap regime
+    # hammer one symbol to push the stretch-up through maximal scaled counts
     m = QuasiModel(4)
     m.reset()
     for _ in range(70000):
@@ -64,14 +64,15 @@ def test_ans_roundtrip(idx):
     assert np.array_equal(out, data)
 
 
-def test_ans_wrap_regime_failure_parity():
-    # A constant high MTF rank hammers one quasi-model mantissa hard enough to
-    # wrap the C int rescale; the reference aborts on its own assert for such
-    # chunks (verified against compiled C), so there is no decodable
-    # ref-compatible encoding — we raise instead of emitting garbage.
+def test_ans_heavy_quasi_rescale_roundtrip():
+    # A constant high MTF rank hammers one quasi-model mantissa through many
+    # rescales with large scaled counts.  The reference's stretch-up
+    # (model.cpp:183) is UNSIGNED arithmetic — ProbScale is unsigned int —
+    # so it never wraps and such chunks encode fine; an earlier revision
+    # mis-modeled this as int32 wrap and refused them.
     data = np.tile(np.arange(251, dtype=np.uint8), 97)
-    with pytest.raises(ValueError, match="model failure"):
-        ans_encode(data)
+    enc = ans_encode(data)
+    assert np.array_equal(ans_decode(enc, expect_size=data.size), data)
 
 
 def test_ans_compresses_skewed():
