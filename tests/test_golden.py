@@ -163,3 +163,38 @@ def test_m2_survives_input_that_segfaults_reference(oracle, tmp_path):
         capture_output=True,
     )
     assert proc.returncode != 0 or ref_jam.stat().st_size > 0
+
+
+def test_heavy_quasi_rescale_matches_reference_bytes(oracle, tmp_path):
+    """model.cpp:183 is unsigned arithmetic: chunks that push quasi models
+    through large-scaled-count rescales must encode byte-identically (an
+    earlier int32-wrap emulation refused them / mis-decoded)."""
+    data = np.tile(np.arange(251, dtype=np.uint8), 800).tobytes()
+    src = tmp_path / "q.bin"
+    src.write_bytes(data)
+    ref_jam = tmp_path / "ref.jam"
+    oracle.compress(src, ref_jam, "-f0")
+    arc = io.BytesIO()
+    with open(src, "rb") as f:
+        compress_stream(f, arc, Options(filters=0), engine=NativeEngine())
+    assert arc.getvalue() == ref_jam.read_bytes()
+
+
+def test_lpx_order_transition_matches_reference_bytes(oracle, tmp_path):
+    """lpx.cpp re-derefs *order: after transitions the threshold update
+    targets the new order's record; periodic stressors pin the behavior."""
+    rng = np.random.default_rng(0)
+    parts = []
+    for p in (2, 3, 8, 5):
+        parts.append(np.tile(rng.integers(0, 256, p, dtype=np.uint8),
+                             40000 // p))
+        parts.append(rng.integers(0, 256, 2000, dtype=np.uint8))
+    data = np.concatenate(parts).tobytes()
+    src = tmp_path / "p.bin"
+    src.write_bytes(data)
+    ref_jam = tmp_path / "ref.jam"
+    oracle.compress(src, ref_jam, "-f1")
+    arc = io.BytesIO()
+    with open(src, "rb") as f:
+        compress_stream(f, arc, Options(filters=1), engine=NativeEngine())
+    assert arc.getvalue() == ref_jam.read_bytes()

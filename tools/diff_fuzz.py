@@ -36,7 +36,7 @@ def gen_input(rng: np.random.Generator) -> bytes:
     parts = []
     budget = int(rng.integers(1, 400_000))
     while budget > 0:
-        kind = rng.integers(0, 7)
+        kind = rng.integers(0, 8)
         ln = int(min(rng.integers(1, 60_000), budget))
         if kind == 0:  # noise
             parts.append(rng.integers(0, 256, ln, dtype=np.uint8).tobytes())
@@ -60,10 +60,14 @@ def gen_input(rng: np.random.Generator) -> bytes:
         elif kind == 5:  # delta ramp (audio-like)
             parts.append(((np.cumsum(rng.integers(-4, 5, ln)) % 256)
                           .astype(np.uint8)).tobytes())
-        else:  # runs
+        elif kind == 6:  # runs
             parts.append(np.repeat(
                 rng.integers(0, 8, max(ln // 30, 1)),
                 30)[:ln].astype(np.uint8).tobytes())
+        else:  # quasi-model stressor: cycling high symbols (heavy rescales)
+            parts.append(np.tile(
+                np.arange(int(rng.integers(130, 256)), dtype=np.uint8),
+                ln // 130 + 1)[:ln].tobytes())
         budget -= ln
     return b"".join(parts)
 
