@@ -75,7 +75,11 @@ def _parse(argv):
                 elif c == "c" and num:
                     opt.ans_chunk = int(num) << 10  # ANS chunk in KB
                 elif c == "L" and num:
-                    opt.rans_lanes = int(num)  # JTX rANS lane interleave
+                    # JTX rANS lane interleave, validated at the boundary so
+                    # header and payload can never disagree
+                    from .runtime.pipeline import validate_rans_lanes
+
+                    opt.rans_lanes = validate_rans_lanes(int(num))
                 elif c == "m" and num:
                     opt.match_finder = int(num)
                 elif c == "f" and num:

@@ -17,11 +17,15 @@ from dataclasses import dataclass
 
 from .constants import BWT_UNITS, MAGIC, MIN_BLOCKSIZE, MAX_BLOCKSIZE
 
-# Native-mode container: same framing plus two stream-parameter words (the
-# BWT anchor count and the rANS lane-interleave width).  Only this framework
-# reads it; the default "JAM" framing stays byte-compatible with the
-# reference.
+# Native-mode container (JTX v2): same framing plus two stream-parameter
+# words (the BWT anchor count and the rANS lane-interleave width).  Only
+# this framework reads it; the default "JAM" framing stays byte-compatible
+# with the reference.  History: v1 carried a single '<i' ext word (units
+# only); the one-time pre-format-lock growth to '<ii' happened before the
+# .jtx golden fixture locked the bytes.  Any future ext-layout change MUST
+# bump this magic — the ext words carry no version field of their own.
 MAGIC_NATIVE = b"JTX"
+MAX_RANS_LANES = 4096  # mirrored by runtime.pipeline.validate_rans_lanes
 
 _HEADER = struct.Struct("<3sIii")
 _NATIVE_EXT = struct.Struct("<ii")
@@ -85,7 +89,7 @@ def read_block(inp, want_payload: bool = True):
         units, lanes = _NATIVE_EXT.unpack(ext)
         if units < 1 or units > (1 << 24):
             raise ValueError("corrupt native anchor count")
-        if lanes < 0 or lanes > (1 << 16):
+        if lanes < 0 or lanes == 1 or lanes > MAX_RANS_LANES:
             raise ValueError("corrupt native lane count")
     if not want_payload:
         # forward skip: seek when possible, bounded read otherwise

@@ -89,21 +89,6 @@ def inverse_bwt_tpu(buf: np.ndarray, units: int = BWT_UNITS) -> np.ndarray:
     return out
 
 
-@partial(jax.jit, static_argnames=("nlen", "units"))
-def plant_anchors_device(sa: jnp.ndarray, nlen: int, units: int) -> jnp.ndarray:
-    """Device-side anchor planting (bwt.cpp:44-48): anchors[sa[i]/step] = i+1
-    for every SA entry whose suffix offset is a multiple of step."""
-    step = nlen // units
-    q = sa // step
-    ok = (sa % step == 0) & (q < units)
-    pos = jnp.arange(nlen, dtype=jnp.int32)
-    return (
-        jnp.zeros(units, jnp.int32)
-        .at[jnp.where(ok, q, units)]
-        .set(pos + 1, mode="drop")
-    )
-
-
 def plant_anchors(sa: np.ndarray, nlen: int, units: int) -> np.ndarray:
     """Anchor planting for arbitrary unit counts (forward side, bwt.cpp:44-48)."""
     step = nlen // units

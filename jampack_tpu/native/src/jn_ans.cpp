@@ -293,16 +293,6 @@ static inline u32 rdec_advance(u32 x, const u8** pp, const u8* end, u32 start,
   return x;
 }
 
-// Hot-path variant: caller has already proven >= 4 readable bytes (one
-// advance consumes at most 2), so the per-byte bound check is elided.
-static inline u32 rdec_advance_fast(u32 x, const u8** pp, u32 start, u32 freq,
-                                    u32 bits) {
-  u32 mask = (1u << bits) - 1;
-  x = freq * (x >> bits) + (x & mask) - start;
-  while (x < kRansL) x = (x << 8) | *(*pp)++;
-  return x;
-}
-
 // ---- chunk models bundle ----
 struct Models {
   Adaptive expm;

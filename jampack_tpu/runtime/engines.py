@@ -221,6 +221,8 @@ class TpuEngine(Engine):
             freqs, olen, clen, rlen, pos = read_chunk_header(view, pos)
             if lanes >= 2:
                 lane_clens, p = read_lane_table(view, pos, rlen, lanes)
+                if sum(lane_clens) != clen - (p - pos):
+                    raise ValueError("corrupt lane table")
                 rows = list(range(len(starts), len(starts) + lanes))
                 starts.extend(np.cumsum([p] + lane_clens[:-1]).tolist())
                 rlens.extend(lane_rlen(rlen, lanes, l) for l in range(lanes))

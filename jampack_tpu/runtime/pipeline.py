@@ -35,7 +35,26 @@ class Options:
         # switches the block framing to the JTX native container (framing.py)
         self.anchor_units = anchor_units
         self.ans_chunk = ans_chunk
-        self.rans_lanes = rans_lanes
+        # Validate once at the boundary so header and payload always agree
+        # across engines (the native encoder supports at most 4096 lanes).
+        self.rans_lanes = validate_rans_lanes(rans_lanes)
+
+
+MAX_RANS_LANES = 4096
+
+
+def validate_rans_lanes(lanes) -> int:
+    """Single point of truth for the JTX lane-interleave range: 0 (classic
+    4-state stream) or 2..MAX_RANS_LANES.  Values outside are rejected so no
+    engine can frame a header that disagrees with its payload."""
+    lanes = int(lanes)
+    if lanes < 2:
+        return 0
+    if lanes > MAX_RANS_LANES:
+        raise ValueError(
+            f"rans_lanes {lanes} out of range (2..{MAX_RANS_LANES})"
+        )
+    return lanes
 
 
 class Engine:
@@ -47,7 +66,14 @@ class Engine:
         return _checksum.integrity_check(data)
 
     def lz_encode(self, data, mode: int):
-        # modes 1/2 fall back to dedupe until the native engine provides them
+        if mode == 1:
+            from ..stages.lz77_mf import lz77_m1_encode
+
+            return lz77_m1_encode(data)
+        if mode >= 2:
+            from ..stages.lz77_mf import lz77_m2_encode
+
+            return lz77_m2_encode(data)
         return lz77_dedupe_encode(data)
 
     def lz_decode(self, data, cap=None):

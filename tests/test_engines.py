@@ -9,7 +9,9 @@ from jampack_tpu.runtime.engines import TpuEngine
 from jampack_tpu.runtime.pipeline import (
     Engine,
     Options,
+    compress_block,
     compress_stream,
+    decompress_block,
     decompress_stream,
 )
 
@@ -112,3 +114,27 @@ def test_hybrid_engine_roundtrip_and_interop(monkeypatch):
     out = io.BytesIO()
     decompress_stream(io.BytesIO(arc.getvalue()), out, engine=HybridEngine())
     assert out.getvalue() == data
+
+
+@pytest.mark.parametrize("match_finder", [0, 1, 2])
+@pytest.mark.parametrize("filters", [0, 1, 2])
+def test_spec_native_identical_archives_all_options(match_finder, filters):
+    """The spec engine must produce byte-identical archives to the native
+    engine for EVERY Options — no silent m1/m2 downgrade (lz77.cpp:278-441
+    parity now lives in stages/lz77_mf.py)."""
+    from jampack_tpu.runtime.engines import NativeEngine
+
+    rng = np.random.default_rng(1234)
+    data = np.concatenate([
+        np.frombuffer(b"structured record " * 400, dtype=np.uint8),
+        rng.integers(0, 6, 4000, dtype=np.uint8),
+        np.frombuffer(b"".join(bytes([i % 256, (i * 3) % 256, 7])
+                               for i in range(1500)), dtype=np.uint8),
+    ])
+    opt = Options(match_finder=match_finder, filters=filters)
+    crc_s, pay_s = compress_block(data, opt, Engine())
+    crc_n, pay_n = compress_block(data, opt, NativeEngine())
+    assert crc_s == crc_n
+    assert pay_s == pay_n
+    back = decompress_block(pay_s, crc_s, Engine())
+    assert np.array_equal(back, data)

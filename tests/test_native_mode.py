@@ -172,3 +172,47 @@ def test_lanes_corrupt_lane_table_detected_spec():
         got = ans_decode(bytes(blob), lanes=8)
         if not np.array_equal(got, data):
             raise ValueError("mismatch")
+
+
+def test_rans_lanes_validated_at_boundary():
+    # lanes < 2 normalize to the classic 4-state stream; lanes beyond the
+    # supported interleave are rejected before any engine can frame a
+    # header that disagrees with its payload (native clamps at 4096)
+    from jampack_tpu.runtime.pipeline import validate_rans_lanes
+
+    assert Options(rans_lanes=0).rans_lanes == 0
+    assert Options(rans_lanes=1).rans_lanes == 0
+    assert Options(rans_lanes=4096).rans_lanes == 4096
+    with pytest.raises(ValueError):
+        Options(rans_lanes=4097)
+    with pytest.raises(ValueError):
+        validate_rans_lanes(1 << 20)
+
+
+def test_framing_rejects_out_of_range_lanes():
+    from jampack_tpu.format import framing
+
+    buf = io.BytesIO()
+    framing.write_block(buf, 0, b"xx", 1 << 20, units=480, lanes=4)
+    raw = bytearray(buf.getvalue())
+    # patch the lanes ext word beyond the supported range
+    import struct
+
+    raw[framing.HEADER_SIZE + 4 : framing.HEADER_SIZE + 8] = struct.pack(
+        "<i", 8192
+    )
+    with pytest.raises(ValueError):
+        framing.read_block(io.BytesIO(bytes(raw)))
+
+
+def test_tpu_decode_rejects_corrupt_lane_table():
+    from jampack_tpu.stages.ans import ans_encode
+
+    data = np.frombuffer(DATA[:20000], dtype=np.uint8)
+    blob = ans_encode(data, 1 << 20, lanes=4)
+    with pytest.raises(ValueError):
+        got = TpuEngine().ans_decode(
+            np.frombuffer(blob, dtype=np.uint8), lanes=8
+        )
+        if not np.array_equal(got, data):
+            raise ValueError("mismatch")
