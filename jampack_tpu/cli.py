@@ -22,6 +22,49 @@ from .format.constants import DEFAULT_BLOCKSIZE
 from .runtime.pipeline import Options, compress_block, decompress_block
 
 
+def plan_workers(opt) -> int:
+    """Memory/core-aware block-parallel worker count.
+
+    The reference clamps instance count against the host (jampack.cpp:186-192)
+    and documents encode memory as 6N*K for K instances on N-byte blocks
+    (main.cpp:3-4).  Default K = core count; K is clamped so 6N*K (plus the
+    2-deep read-ahead window's raw blocks, ~2N*K) fits in available memory.
+    """
+    from .runtime.sysinfo import available_memory, core_count
+
+    if not opt.multiblock:
+        return 1
+    workers = opt.threads if opt.threads > 0 else core_count()
+    per_worker = 8 * opt.blocksize  # 6N working set + 2N window buffers
+    mem_cap = max(int(available_memory() // per_worker), 1)
+    return max(min(workers, mem_cap), 1)
+
+
+class _Progress:
+    """Live per-block progress line (jampack.cpp:226-231,273-278 analog):
+    MB processed, ratio, MB/s, carriage-return overwritten on stderr."""
+
+    def __init__(self, label: str, enabled: bool = True):
+        self.label = label
+        self.enabled = enabled and sys.stderr.isatty()
+        self.t0 = time.time()
+        self.shown = False
+
+    def update(self, raw: int, comp: int) -> None:
+        if not self.enabled:
+            return
+        dt = time.time() - self.t0
+        rate = (raw / 1e6) / dt if dt > 0 else 0.0
+        ratio = (comp / raw * 100) if raw else 0.0
+        print(f"\r{self.label}: {raw / 1e6:.1f} MB ({ratio:.2f}%) "
+              f"@ {rate:.2f} MB/s", end="", file=sys.stderr, flush=True)
+        self.shown = True
+
+    def done(self) -> None:
+        if self.shown:
+            print(file=sys.stderr)
+
+
 def _make_engine(name: str, threads: int):
     if name == "numpy":
         from .runtime.pipeline import Engine
@@ -132,7 +175,8 @@ def run(argv):
         engine = InstrumentedEngine(engine)
     start = time.time()
     raw = comp = 0
-    workers = max(opt.threads or 4, 1) if opt.multiblock else 1
+    workers = plan_workers(opt)
+    progress = _Progress("compressing" if mode == "c" else "decompressing")
 
     with open(inp, "rb") as fin, open(outp, "wb") as fout:
         if mode == "c":
@@ -157,6 +201,7 @@ def run(argv):
                     framing.write_block(fout, crc, payload, opt.blocksize,
                                         opt.anchor_units, opt.rans_lanes)
                     comp += len(payload) + framing.HEADER_SIZE
+                    progress.update(raw, comp)
         elif mode == "d":
             def decode_one(args):
                 header, payload = args
@@ -180,9 +225,11 @@ def run(argv):
                     data = window.popleft().result()
                     fout.write(data.tobytes())
                     raw += data.size
+                    progress.update(raw, comp)
         else:
             raise SystemExit("Invalid option!")
 
+    progress.done()
     dt = time.time() - start
     ratio = (comp / raw * 100) if raw else 0.0
     rate = (raw / 1e6) / dt if dt > 0 else 0.0
