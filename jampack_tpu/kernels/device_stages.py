@@ -1,0 +1,594 @@
+"""Device-resident decode-stage kernels with dynamic lengths.
+
+Every core here is jittable with *traced* actual lengths and *static*
+capacity bounds, so the full decode chain — entropy symbols -> RLE0 ->
+SRC rank -> inverse BWT -> LZ expansion -> Lpx -> filters — can run
+device-resident under one jit (and under shard_map across a mesh) on real
+archive blocks whose stage lengths are data-dependent.  Each kernel is
+bit-exact with its executable-spec counterpart in stages/.
+
+Design notes per kernel:
+
+* RLE0 decode (rle.cpp:52-74): fully vectorized.  Runs of {0,1} symbols
+  are segmented with a scan; each run's binary value is a segment-sum of
+  bits scaled by position; nonzero symbols scatter to their exclusive-scan
+  output positions into a zero-initialised buffer (the zeros between them
+  ARE the decoded zero runs).
+* SRC rank decode (rank.cpp:96-151): irreducibly serial per chunk — the
+  MTF table walk is data-dependent — so the kernel carries an explicit
+  chunk-lane axis and decodes all chunks of a block in lockstep
+  (survey P5: chunk parallelism is the throughput axis).
+* LZ77 expansion (lz77.cpp:678-714): a bounded on-device token parse
+  (while_loop over tokens, scalar varint reads) followed by a vectorized
+  region fill and the pointer-doubling resolve from lz_expand.py.
+* Filters decode (filters.cpp:442-490): chunk headers sit at fixed
+  strides; all-config transforms are vectorized (delta = masked cumsum,
+  inline delta = stride-doubling prefix sum, channel unreorder = a
+  computed gather); the serial LPC recurrence runs under a block-level
+  cond only when some chunk actually chose LPC.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..format.constants import FILTER_BLOCK_SIZE
+
+_FBS = FILTER_BLOCK_SIZE
+
+
+# ---------------------------------------------------------------------------
+# RLE0 decode
+
+
+def rle0_decode_core(syms: jnp.ndarray, rlen, olen, out_cap: int):
+    """syms: (S,) uint16 padded; rlen/olen traced actuals.
+    Returns (out (out_cap,) uint8, ok bool)."""
+    S = syms.shape[0]
+    idx = jnp.arange(S, dtype=jnp.int32)
+    valid = idx < rlen
+    v = syms.astype(jnp.int32)
+    is_bit = valid & (v <= 1)
+    prev_bit = jnp.concatenate([jnp.zeros(1, bool), is_bit[:-1]])
+    run_start = is_bit & ~prev_bit
+    # segment id for bit positions (0-based over runs)
+    seg = jnp.cumsum(run_start.astype(jnp.int32)) - 1
+    seg_safe = jnp.where(is_bit, seg, S - 1)  # park non-bits in a scratch row
+    # per-run start index and length
+    seg_start = jnp.zeros(S, jnp.int32).at[seg_safe].max(
+        jnp.where(is_bit & run_start, idx, 0), mode="drop"
+    )
+    run_len = jnp.zeros(S, jnp.int32).at[seg_safe].add(
+        jnp.where(is_bit, 1, 0), mode="drop"
+    )
+    # value = (1 << run_len) | bits; emitted zeros = value - 1
+    # bit j of run contributes bit << (run_len - 1 - (j - start))
+    shift = jnp.clip(
+        run_len[seg_safe] - 1 - (idx - seg_start[seg_safe]), 0, 31
+    )
+    contrib = jnp.where(is_bit, v << shift, 0)
+    run_bits = jnp.zeros(S, jnp.int32).at[seg_safe].add(contrib, mode="drop")
+    overflow = jnp.any(run_len > 30)
+    run_val = (jnp.int32(1) << jnp.clip(run_len, 0, 30)) | run_bits
+    zeros_out = jnp.maximum(run_val - 1, 0)
+
+    # per-input-symbol output contribution: 1 for nonzero syms, run zeros
+    # attributed to the run's first bit
+    out_len_here = jnp.where(
+        valid & (v > 1), 1, jnp.where(run_start, zeros_out[seg_safe], 0)
+    )
+    pos = jnp.cumsum(out_len_here) - out_len_here  # exclusive scan
+    total = jnp.sum(out_len_here)
+
+    out = jnp.zeros(out_cap, jnp.uint8)
+    nz = valid & (v > 1)
+    out = out.at[jnp.where(nz, pos, out_cap)].set(
+        jnp.where(nz, (v - 1).astype(jnp.uint8), 0), mode="drop"
+    )
+    ok = (total == olen) & ~overflow
+    return out, ok
+
+
+# ---------------------------------------------------------------------------
+# SRC rank decode (wide: one lane per chunk)
+
+
+def rank_setup_core(ranks: jnp.ndarray, freqs: jnp.ndarray):
+    """Per-lane decoder state from the rank rows + freq tables.
+
+    ranks: (L, OCAP) uint8; freqs: (L, 256) int32.
+    Returns (r2s (L,256) i32, bucket (L,256) i32, bucket_end (L,256) i32,
+    unique (L,) i32, sym (L,) i32, ok (L,) bool).
+    Replicates rank.cpp:96-123: buckets laid out in descending frequency
+    (ties: lowest symbol), r2s seeded from the first rank of each bucket in
+    that order, initial sym = r2s[0].
+    """
+    L = ranks.shape[0]
+    syms256 = jnp.arange(256, dtype=jnp.int32)
+    # sorted_map order: descending freq, ties by lowest symbol — sort by
+    # (-freq, sym); zero-freq symbols sort last (freq>0 first)
+    f = freqs.astype(jnp.int32)
+    neg = -f
+    keys = jnp.broadcast_to(syms256, (L, 256))
+    negs, sorted_sym = jax.lax.sort((neg, keys), num_keys=1, is_stable=True)
+    sorted_freq = -negs
+    # bucket base position per sorted rank = exclusive cumsum of freqs
+    base = jnp.cumsum(sorted_freq, axis=1) - sorted_freq
+    has = sorted_freq > 0
+    # bucket/bucket_end in symbol space
+    bucket = jnp.zeros((L, 256), jnp.int32).at[
+        jnp.arange(L)[:, None], sorted_sym
+    ].set(jnp.where(has, base + 1, 0))
+    bucket_end = jnp.zeros((L, 256), jnp.int32).at[
+        jnp.arange(L)[:, None], sorted_sym
+    ].set(jnp.where(has, base + sorted_freq, 0))
+    unique = jnp.sum(has, axis=1).astype(jnp.int32)
+
+    # r2s seeding: in sorted order, r2s[ranks[base]] = sym (later wins).
+    # Serial 256-step loop (setup-time only).
+    def seed(j, carry):
+        r2s = carry
+        sym = sorted_sym[:, j]
+        b = base[:, j]
+        r = ranks[jnp.arange(L), jnp.clip(b, 0, ranks.shape[1] - 1)].astype(jnp.int32)
+        ok_j = has[:, j]
+        r2s = r2s.at[jnp.arange(L), jnp.where(ok_j, r, 256)].set(
+            jnp.where(ok_j, sym, 0), mode="drop"
+        )
+        return r2s
+
+    r2s = jax.lax.fori_loop(0, 256, seed, jnp.zeros((L, 257), jnp.int32))
+    r2s = r2s[:, :256]
+    sym0 = r2s[:, 0]
+    total = jnp.sum(f, axis=1)
+    return r2s, bucket, bucket_end, unique, sym0, total
+
+
+def rank_decode_core(ranks: jnp.ndarray, freqs: jnp.ndarray,
+                     olens: jnp.ndarray, out_cap: int):
+    """Wide-lane SRC rank decode: L chunks in lockstep.
+
+    ranks: (L, OCAP) uint8 rank rows (padded); freqs: (L, 256) i32;
+    olens: (L,) i32 actual lengths (<= out_cap; <=0 marks padding lanes).
+    Returns (out (L, out_cap) uint8, ok (L,) bool).
+    """
+    L, OCAP = ranks.shape
+    l_idx = jnp.arange(L)
+    r2s, bucket, bucket_end, unique, sym, total = rank_setup_core(ranks, freqs)
+    ok = (total == jnp.maximum(olens, 0))
+    out = jnp.zeros((L, out_cap), jnp.uint8)
+    cols = jnp.arange(256, dtype=jnp.int32)
+
+    def body(i, carry):
+        r2s, bucket, unique, sym, out = carry
+        active = i < olens
+        out = out.at[:, i].set(
+            jnp.where(active, sym.astype(jnp.uint8), out[:, i])
+        )
+        cur = bucket[l_idx, sym]
+        end = bucket_end[l_idx, sym]
+        has = active & (cur < end)
+        rank = ranks[l_idx, jnp.clip(cur, 0, OCAP - 1)].astype(jnp.int32)
+        # branch A: bucket has a next rank
+        do_mtf = has & (rank > 0)
+        shifted = jnp.concatenate([r2s[:, 1:], r2s[:, -1:]], axis=1)
+        new_r2s_a = jnp.where(cols[None, :] < rank[:, None], shifted, r2s)
+        new_r2s_a = new_r2s_a.at[l_idx, jnp.clip(rank, 0, 255)].set(
+            jnp.where(do_mtf, sym, new_r2s_a[l_idx, jnp.clip(rank, 0, 255)])
+        )
+        # branch B: bucket exhausted -> retire the symbol (rank.cpp:133-148)
+        fall = active & ~has & (unique > 0)
+        new_unique = jnp.where(fall, unique - 1, unique)
+        m = jnp.maximum(1, new_unique)  # do-while: at least one shift
+        new_r2s_b = jnp.where(cols[None, :] < m[:, None], shifted, r2s)
+
+        r2s = jnp.where(
+            do_mtf[:, None], new_r2s_a, jnp.where(fall[:, None], new_r2s_b, r2s)
+        )
+        bucket = bucket.at[l_idx, sym].set(jnp.where(has, cur + 1, cur))
+        new_sym = jnp.where(do_mtf | fall, r2s[:, 0], sym)
+        return r2s, bucket, new_unique, new_sym, out
+
+    steps = jnp.minimum(jnp.maximum(jnp.max(olens), 0), out_cap)
+    _, _, _, _, out = jax.lax.fori_loop(
+        0, steps, body, (r2s, bucket, unique, sym, out)
+    )
+    return out, ok | (olens <= 0)
+
+
+# ---------------------------------------------------------------------------
+# LZ77 decode (on-device token parse + vectorized expansion)
+
+from ..format.varint import CONSTANTS as _VARINT_CONSTANTS
+from ..format.constants import LZ_MIN_MATCH
+
+
+def _leb_at(buf: jnp.ndarray, pos, n):
+    """Decode one LEB128-with-carry varint at pos (utils.cpp:73-90).
+    Returns (value, nbytes, bad)."""
+    N = buf.shape[0]
+    bs = [buf[jnp.clip(pos + i, 0, N - 1)].astype(jnp.int32) for i in range(5)]
+    flags = [(b & 0x80) != 0 for b in bs]
+    # d = index of the first terminator byte (cap 4: longer is malformed)
+    d = jnp.int32(4)
+    for i in range(3, -1, -1):
+        d = jnp.where(flags[i], jnp.int32(i), d)
+    bad = (pos + d >= n)
+    val = jnp.int32(0)
+    for i in range(5):
+        use = i < d
+        val = jnp.where(use, (val << 7) | bs[i], val)
+    last = jnp.int32(0)
+    for i in range(5):
+        last = jnp.where(d == i, bs[i], last)
+    val = (val << 7) | (last & 0x7F)
+    consts = jnp.asarray((0,) + _VARINT_CONSTANTS, dtype=jnp.int32)
+    val = val + consts[jnp.clip(d, 0, 4)]
+    bad = bad | ~flags[4] & (d == 4) & False  # d capped at 4 by construction
+    return val, d + 1, bad
+
+
+def lz_parse_core(buf: jnp.ndarray, n, max_tokens: int, out_cap: int):
+    """On-device LZ77 token-stream parse (lz77.cpp:678-714 structure).
+
+    Returns per-token arrays (dst, src, lit, off, match) of length
+    max_tokens + 1 (the final raw-tail literal is the last used token,
+    with off = match = 0), the token count, total output length, and a
+    bad flag.  Unused slots have dst = out_cap + 1 so region searches
+    fall past them.
+    """
+    MT = max_tokens + 1
+    dst0 = jnp.full(MT, out_cap + 1, jnp.int32)
+    z = jnp.zeros(MT, jnp.int32)
+
+    def cond(c):
+        pos, out_len, t, d_, s_, l_, o_, m_, done, bad = c
+        return ~done & ~bad & (pos < n)
+
+    def body(c):
+        pos, out_len, t, d_, s_, l_, o_, m_, done, bad = c
+        token = buf[jnp.clip(pos, 0, buf.shape[0] - 1)].astype(jnp.int32)
+        p = pos + 1
+        off, nb, b1 = _leb_at(buf, p, n)
+        p = p + nb
+        match = token >> 3
+        ext1, nb1, b2 = _leb_at(buf, p, n)
+        has_mext = match == 31
+        p = jnp.where(has_mext, p + nb1, p)
+        match = jnp.where(has_mext, ext1 + 31, match) + LZ_MIN_MATCH
+        lit = token & 7
+        ext2, nb2, b3 = _leb_at(buf, p, n)
+        has_lext = lit == 7
+        p = jnp.where(has_lext, p + nb2, p)
+        lit = jnp.where(has_lext, ext2 + 7, lit)
+        bad = bad | b1 | (has_mext & b2) | (has_lext & b3)
+        bad = bad | (match < 0) | (lit < 0) | (off < 0) | (t >= MT)
+        ts = jnp.clip(t, 0, MT - 1)
+
+        is_end = off == 0
+        # end token: the rest of the input is one raw literal
+        end_lit = n - p
+        rec_lit = jnp.where(is_end, end_lit, lit)
+        rec_match = jnp.where(is_end, 0, match)
+        new_out = out_len + rec_lit + rec_match
+        bad = bad | (new_out > out_cap)
+        bad = bad | (~is_end & ((p + lit >= n) | (out_len + lit - off < 0)))
+        d_ = d_.at[ts].set(jnp.where(bad, d_[ts], out_len))
+        s_ = s_.at[ts].set(p)
+        l_ = l_.at[ts].set(rec_lit)
+        o_ = o_.at[ts].set(jnp.where(is_end, 0, off))
+        m_ = m_.at[ts].set(rec_match)
+        pos = jnp.where(is_end, n, p + lit)
+        return (pos, jnp.where(bad, out_len, new_out), t + 1,
+                d_, s_, l_, o_, m_, is_end, bad)
+
+    init = (jnp.int32(0), jnp.int32(0), jnp.int32(0),
+            dst0, z, z, z, z, jnp.bool_(False), jnp.bool_(False))
+    pos, out_len, t, d_, s_, l_, o_, m_, done, bad = jax.lax.while_loop(
+        cond, body, init)
+    # a stream that ran out without the end token is truncated
+    bad = bad | (~done & (t > 0) & (pos >= n) & (n > 0))
+    return d_, s_, l_, o_, m_, t, out_len, bad
+
+
+def lz_expand_core(buf: jnp.ndarray, d_, s_, l_, o_, m_, out_len,
+                   out_cap: int):
+    """Vectorized region fill + pointer-doubling resolve over parsed tokens."""
+    MT = d_.shape[0]
+    # region boundaries: token j owns literal region at d_[j] and match
+    # region at d_[j] + l_[j]; unused slots sit past out_cap
+    starts = jnp.stack([d_, d_ + l_], axis=1).reshape(-1)  # (2*MT,)
+    p = jnp.arange(out_cap, dtype=jnp.int32)
+    r = jnp.searchsorted(starts, p, side="right").astype(jnp.int32) - 1
+    r = jnp.clip(r, 0, 2 * MT - 1)
+    tok = r >> 1
+    is_lit = (r & 1) == 0
+    src_idx = jnp.clip(s_[tok] + (p - d_[tok]), 0, buf.shape[0] - 1)
+    val = jnp.where(is_lit, buf[src_idx], 0).astype(jnp.uint8)
+    ptr = jnp.where(is_lit | (p >= out_len), p, p - o_[tok])
+    ptr = jnp.clip(ptr, 0, out_cap - 1)
+
+    def cond(c):
+        ptr, _ = c
+        return jnp.any(ptr != ptr[ptr])
+
+    def body(c):
+        ptr, k = c
+        return ptr[ptr], k + 1
+
+    ptr, _ = jax.lax.while_loop(cond, body, (ptr, jnp.int32(0)))
+    return val[ptr]
+
+
+def lz_decode_dyn_core(buf: jnp.ndarray, n, max_tokens: int, out_cap: int):
+    """Full on-device LZ77 decode with dynamic input length.
+    Returns (out (out_cap,) u8, out_len, ok)."""
+    d_, s_, l_, o_, m_, t, out_len, bad = lz_parse_core(
+        buf, n, max_tokens, out_cap)
+    out = lz_expand_core(buf, d_, s_, l_, o_, m_, out_len, out_cap)
+    return out, out_len, ~bad
+
+
+# ---------------------------------------------------------------------------
+# Filters decode (vectorized per-chunk inverse transforms)
+
+_WEIGHT_RATE = 6  # filters.cpp:44
+
+
+def filters_decode_dyn_core(buf: jnp.ndarray, m, out_cap: int):
+    """Inverse filter stage with dynamic input length m.
+
+    Chunk k's 2-byte (type,width) header sits at k*(FBS+2); payload length
+    is min(FBS, m - hdr - 2) (filters.cpp:442-490 semantics).  Returns
+    (out (out_cap,) u8, out_len, ok)."""
+    N = buf.shape[0]
+    FMAX = out_cap // (_FBS + 2) + 2
+    k = jnp.arange(FMAX, dtype=jnp.int32)
+    hdr = k * (_FBS + 2)
+    have = hdr < m
+    ftype = jnp.where(have, buf[jnp.clip(hdr, 0, N - 1)], 0).astype(jnp.int32)
+    width = jnp.where(have, buf[jnp.clip(hdr + 1, 0, N - 1)], 0).astype(jnp.int32)
+    plen = jnp.where(have, jnp.minimum(_FBS, m - hdr - 2), 0)
+    ok = ~jnp.any(have & ((ftype >= 3) | (width > 32) | (m - hdr < 2)))
+
+    j = jnp.arange(_FBS, dtype=jnp.int32)
+    jj = j[None, :]
+    gidx = jnp.clip(hdr[:, None] + 2 + jj, 0, N - 1)
+    inb = jj < plen[:, None]
+    C = jnp.where(inb, buf[gidx], 0).astype(jnp.int32)  # (FMAX, FBS)
+
+    w = jnp.maximum(width, 1)[:, None]
+    L = plen[:, None]
+
+    # ---- type 0: sequential delta over the reordered stream = cumsum
+    dec_delta = jnp.cumsum(C, axis=1) & 0xFF
+
+    # ---- type 1: LPC serial recurrence, run only when some chunk needs it
+    def run_lpc(C):
+        def body(i, carry):
+            out, weight, p1, p2 = carry
+            active = i < plen
+            err = C[:, i]
+            cur = (weight + (((p1 - p2) + p1) - err)) & 0xFF
+            nw = weight + ((err - weight) >> _WEIGHT_RATE)
+            out = out.at[:, i].set(jnp.where(active, cur, out[:, i]))
+            return (out,
+                    jnp.where(active, nw, weight),
+                    jnp.where(active, cur, p1),
+                    jnp.where(active, p1, p2))
+
+        z = jnp.zeros(FMAX, jnp.int32)
+        out0 = jnp.zeros((FMAX, _FBS), jnp.int32)
+        lpc_steps = jnp.max(jnp.where((ftype == 1) & (width > 0), plen, 0))
+        out, _, _, _ = jax.lax.fori_loop(0, lpc_steps, body, (out0, z, z, z))
+        return out
+
+    any_lpc = jnp.any(have & (ftype == 1) & (width > 0))
+    dec_lpc = jax.lax.cond(any_lpc, run_lpc, lambda C: C, C)
+
+    # ---- unreorder gather for types 0/1: original position p came from
+    # reordered index base(p % w) + p // w with base(c) = c*(L//w) + min(c, L%w)
+    ch = jj % w
+    ro = ch * (L // w) + jnp.minimum(ch, L % w) + jj // w
+    ro = jnp.clip(ro, 0, _FBS - 1)
+    dec01 = jnp.where(ftype[:, None] == 1, dec_lpc, dec_delta)
+    dec01 = jnp.take_along_axis(dec01, ro, axis=1)
+
+    # ---- type 2: inline per-channel delta = stride-w doubling prefix sum
+    def run_inline(C):
+        align = L % w
+        body_mask = jj >= align
+        acc = jnp.where(body_mask, C, 0)
+        for p2k in range(17):  # 2^17 > FBS
+            shift = w << p2k
+            can = jj - shift >= align
+            rolled = jnp.pad(acc, ((0, 0), (0, _FBS)))  # safe shifted gather
+            idxs = jnp.clip(jj - shift, 0, _FBS - 1)
+            add = jnp.where(can, jnp.take_along_axis(acc, idxs, axis=1), 0)
+            acc = acc + add
+            # early fixpoint is shape-static; 17 rounds is cheap adds
+        return jnp.where(body_mask, acc & 0xFF, C)
+
+    any_inline = jnp.any(have & (ftype == 2) & (width > 0))
+    dec2 = jax.lax.cond(any_inline, run_inline, lambda C: C, C)
+
+    dec = jnp.where((width[:, None] > 0),
+                    jnp.where(ftype[:, None] == 2, dec2, dec01), C)
+
+    # ---- scatter chunks into the contiguous output
+    outbase = jnp.cumsum(plen) - plen
+    out_len = jnp.sum(plen)
+    flat_pos = jnp.where(inb, outbase[:, None] + jj, out_cap)
+    out = jnp.zeros(out_cap + 1, jnp.uint8).at[flat_pos.reshape(-1)].set(
+        dec.astype(jnp.uint8).reshape(-1), mode="drop")[:out_cap]
+    return out, out_len, ok
+
+
+# ---------------------------------------------------------------------------
+# Lpx decode with dynamic length (4-equal-span split + ragged tail slot)
+
+from .lpx_tpu import _code_span
+
+
+def lpx_dyn_core(buf: jnp.ndarray, n, out_cap: int, decode: bool):
+    """Lpx over a dynamic-length stream: the reference's split (stages.lpx
+    _split_spans) yields spans [0,b),[b,2b),[2b,3b),[3b,4b),[4b,n) with
+    b = n//4 (the 5th span is the n%4 tail, empty when 4 | n; b == 0 for
+    tiny inputs degenerates to one span)."""
+    b = n // 4
+    span_cap = out_cap // 4 + 4
+    tiny = b == 0
+    starts = jnp.where(
+        tiny,
+        jnp.zeros(5, jnp.int32),
+        jnp.arange(5, dtype=jnp.int32) * b,
+    )
+    lens = jnp.where(
+        tiny,
+        jnp.concatenate([jnp.atleast_1d(n), jnp.zeros(4, jnp.int32)]),
+        jnp.concatenate([jnp.full(4, b, jnp.int32), jnp.atleast_1d(n - 4 * b)]),
+    )
+    jj = jnp.arange(span_cap, dtype=jnp.int32)
+    gidx = jnp.clip(starts[:, None] + jj[None, :], 0, buf.shape[0] - 1)
+    spans = jnp.where(jj[None, :] < lens[:, None], buf[gidx], 0)
+    # traced loop bound: span_cap is a static capacity far above the actual
+    # span length, which is what we actually have to walk
+    bound = jnp.max(lens)
+    outs = jax.vmap(
+        lambda s, ln: _code_span(s, ln, span_cap, decode, steps=bound)
+    )(spans, lens)
+    flat_pos = jnp.where(jj[None, :] < lens[:, None],
+                         starts[:, None] + jj[None, :], out_cap)
+    out = jnp.zeros(out_cap + 1, jnp.uint8).at[flat_pos.reshape(-1)].set(
+        outs.reshape(-1), mode="drop")[:out_cap]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Inverse BWT with dynamic length
+
+def ibwt_dyn_core(buf: jnp.ndarray, total, units: int, out_cap: int):
+    """Inverse BWT over a dynamic-length stage buffer (bwt data + raw tail
+    + units anchors).  Returns (out (out_cap,) u8, out_len, ok)."""
+    N = buf.shape[0]
+    n = total - units * 4
+    rem = jnp.where(n > 0, n % units, 0)
+    nlen = jnp.maximum(n - rem, 0)
+    # little-endian int32 anchors at buf[n + 4u]
+    u = jnp.arange(units, dtype=jnp.int32)
+    ab = [buf[jnp.clip(n + 4 * u + i, 0, N - 1)].astype(jnp.int32)
+          for i in range(4)]
+    anchors = ab[0] | (ab[1] << 8) | (ab[2] << 16) | (ab[3] << 24)
+    ok = (n >= 0) & jnp.all(
+        (anchors >= 1) & (anchors <= jnp.maximum(nlen, 1)) | (nlen == 0))
+
+    pos = jnp.arange(out_cap, dtype=jnp.int32)
+    keys = jnp.where(pos < nlen, buf[jnp.clip(pos, 0, N - 1)].astype(jnp.int32),
+                     jnp.int32(0x1FF))
+    sorted_keys, order = jax.lax.sort((keys, pos), num_keys=1, is_stable=True)
+    idx = anchors[0]
+    lf = order + (order >= idx).astype(jnp.int32)
+    cmap = (lf << 8) | (sorted_keys & 0xFF)
+
+    step = jnp.where(nlen > 0, nlen // units, 0)
+    step_cap = out_cap // units + 1
+    chunk = jnp.zeros((step_cap, units), jnp.uint8)
+
+    def body(i, carry):
+        p, chunk = carry
+        c = cmap[jnp.clip(p - 1, 0, out_cap - 1)]
+        p = jnp.clip(c >> 8, 0, out_cap)
+        chunk = jax.lax.dynamic_update_slice(
+            chunk, (c & 0xFF).astype(jnp.uint8)[None, :], (i, 0))
+        return p, chunk
+
+    p0 = jnp.clip(anchors, 1, jnp.maximum(nlen, 1))
+    _, chunk = jax.lax.fori_loop(0, step, body, (p0, chunk))
+    # output position i (< nlen) = chunk[i % step, i // step]; raw tail after
+    s = jnp.where(step > 0, pos % jnp.maximum(step, 1), 0)
+    uu = jnp.where(step > 0, pos // jnp.maximum(step, 1), 0)
+    body_bytes = chunk.reshape(-1)[jnp.clip(s * units + uu, 0, step_cap * units - 1)]
+    out = jnp.where(pos < nlen, body_bytes,
+                    jnp.where(pos < n, buf[jnp.clip(pos, 0, N - 1)], 0))
+    return out.astype(jnp.uint8), jnp.maximum(n, 0), ok
+
+
+# ---------------------------------------------------------------------------
+# Fused full-block decode (the device-resident decode chain)
+
+from .rans_wide import decode_lanes_wide
+
+
+def decode_block_core(payload: jnp.ndarray, starts: jnp.ndarray,
+                      rlens: jnp.ndarray, chunk_olens: jnp.ndarray,
+                      chunk_rlens: jnp.ndarray, freqs: jnp.ndarray,
+                      lanes: int, units: int, rmax: int, ocap: int,
+                      out_cap: int, max_tokens: int):
+    """The whole per-block decode chain, device-resident under one jit:
+
+        wide-interleaved rANS -> RLE0 -> SRC rank -> inverse BWT
+        -> LZ77 (configured mode) -> Lpx -> filters -> LZ77 (dedupe)
+
+    the device mirror of the reference's per-block Decomp() sequence
+    (jampack.cpp:47-58) with every stage running on fixed-capacity
+    buffers and traced actual lengths.
+
+    payload: (PCAP,) uint8 padded block payload.
+    starts/rlens: (LMAX,) per-chain payload offsets / symbol counts
+      (rlens < 0 marks padding chains); for `lanes` >= 2 chunk c owns
+      chain rows [c*lanes, (c+1)*lanes).
+    chunk_olens/chunk_rlens: (CMAX,) per-chunk byte/symbol counts (0 pad).
+    freqs: (CMAX, 256) rank frequency tables.
+    Returns (out (out_cap,) uint8, out_len, ok).
+    """
+    CMAX = chunk_olens.shape[0]
+
+    # ---- 1. entropy chains in lockstep
+    syms, eok = decode_lanes_wide(payload, starts, rlens, max_rlen=rmax)
+
+    # ---- 2. per-chunk symbol rows (undo the round-robin lane deal)
+    if lanes >= 2:
+        smax = rmax * lanes
+        j = jnp.arange(smax, dtype=jnp.int32)
+        c = jnp.arange(CMAX, dtype=jnp.int32)
+        row = c[:, None] * lanes + (j % lanes)[None, :]
+        col = (j // lanes)[None, :]
+        chunk_syms = syms[row, jnp.broadcast_to(col, row.shape)]
+    else:
+        smax = rmax
+        chunk_syms = syms[:CMAX]
+
+    # ---- 3. RLE0 per chunk
+    ranks, rle_ok = jax.vmap(
+        lambda s, rl, ol: rle0_decode_core(s, rl, ol, ocap)
+    )(chunk_syms, chunk_rlens, chunk_olens)
+
+    # ---- 4. SRC rank decode, all chunks in lockstep
+    chunk_bytes, rank_ok = rank_decode_core(ranks, freqs, chunk_olens, ocap)
+
+    # ---- 5. concatenate chunks
+    base = jnp.cumsum(chunk_olens) - chunk_olens
+    total = jnp.sum(chunk_olens)
+    p = jnp.arange(out_cap, dtype=jnp.int32)
+    ci = jnp.clip(
+        jnp.searchsorted(base + chunk_olens, p, side="right"), 0, CMAX - 1
+    ).astype(jnp.int32)
+    stage = jnp.where(
+        p < total,
+        chunk_bytes[ci, jnp.clip(p - base[ci], 0, ocap - 1)],
+        0,
+    ).astype(jnp.uint8)
+
+    # ---- 6..9. inverse BWT, LZ (mode), Lpx, filters, LZ (dedupe)
+    stage, n, ib_ok = ibwt_dyn_core(stage, total, units, out_cap)
+    stage, n, lz1_ok = lz_decode_dyn_core(stage, n, max_tokens, out_cap)
+    stage = lpx_dyn_core(stage, n, out_cap, decode=True)
+    stage, n, f_ok = filters_decode_dyn_core(stage, n, out_cap)
+    out, n, lz0_ok = lz_decode_dyn_core(stage, n, max_tokens, out_cap)
+
+    active = rlens >= 0
+    ok = (jnp.all(eok | ~active) & jnp.all(rle_ok | (chunk_olens <= 0))
+          & jnp.all(rank_ok) & ib_ok & lz1_ok & f_ok & lz0_ok)
+    return out, n, ok

@@ -95,8 +95,12 @@ def _update_table(tbl, cxt, pos, order):
     return tbl, new_order
 
 
-def _code_span(inp, length, max_len: int, decode: bool):
-    """One sub-block (lpx.cpp:73-95 flattened); inp padded to max_len."""
+def _code_span(inp, length, max_len: int, decode: bool, steps=None):
+    """One sub-block (lpx.cpp:73-95 flattened); inp padded to max_len.
+
+    `steps` optionally bounds the loop with a traced value (pass the batch
+    max length when max_len is a large static capacity — the body masks on
+    `length`, so extra steps are no-ops but not free)."""
     tbl = (
         jnp.zeros((3, 256), jnp.int32),
         jnp.zeros((3, 256), jnp.int32),
@@ -153,7 +157,8 @@ def _code_span(inp, length, max_len: int, decode: bool):
 
     init = (tbl, out, jnp.uint32(0), jnp.int32(3), jnp.bool_(False),
             jnp.uint32(0))
-    carry = jax.lax.fori_loop(0, max_len, body, init)
+    bound = max_len if steps is None else jnp.minimum(steps, max_len)
+    carry = jax.lax.fori_loop(0, bound, body, init)
     return carry[1]
 
 

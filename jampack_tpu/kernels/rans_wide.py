@@ -176,9 +176,14 @@ def decode_lanes_wide(buf: jnp.ndarray, starts: jnp.ndarray,
             alpha = q_alphas[qi]                        # (L,)
             lanes = q_mask[qi]                          # (L, 129)
             total = jnp.sum(qf * lanes, axis=1)
-            logv = jnp.zeros_like(total)
-            for _ in range(21):  # smallest log with (total>>log)+alpha <= 2^16
-                logv += (((total >> logv) + alpha) > PROB_SCALE).astype(jnp.int32)
+            # smallest log with (total>>log)+alpha <= 2^16; fori keeps the
+            # traced body small (this unrolled 21x dominated compile time)
+            logv = jax.lax.fori_loop(
+                0, 21,
+                lambda _, lv: lv
+                + (((total >> lv) + alpha) > PROB_SCALE).astype(jnp.int32),
+                jnp.zeros_like(total),
+            )
             f = jnp.where(lanes, (qf >> logv[:, None]) + 1, 0)
             t2 = jnp.sum(f, axis=1)
             # model.cpp:183 is UNSIGNED arithmetic; product < 2^32: exact

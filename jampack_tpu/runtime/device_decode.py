@@ -1,0 +1,140 @@
+"""Host wrapper for the fused device-resident block decode.
+
+The host touches only format *metadata* — chunk headers, lane tables —
+which it already holds (the entropy stage is the first decode stage, so
+its input is the raw archive payload).  All O(n) data work runs inside
+one jitted device program per block (kernels/device_stages.decode_block_core),
+the device mirror of the reference's per-block Decomp() chain
+(jampack.cpp:47-58).  The CRC is verified host-side after the fetch, like
+the reference verifies after its chain (jampack.cpp:56-57).
+"""
+
+from functools import partial
+
+import numpy as np
+
+from ..format import checksum as _checksum
+from ..format.constants import ANS_CHUNK_SIZE
+from ..stages.ans import lane_rlen, read_chunk_header, read_lane_table
+
+
+def _pow2(x: int, lo: int = 8) -> int:
+    n = lo
+    while n < x:
+        n <<= 1
+    return n
+
+
+def block_meta(payload: bytes, lanes: int):
+    """Parse every chunk header + lane table out of a block payload.
+
+    Returns dict of unpadded numpy arrays: starts/rlens per chain (for
+    lanes >= 2, chunk c owns chain rows [c*lanes, (c+1)*lanes)), per-chunk
+    olen/rlen, and the (C, 256) rank frequency tables.
+    """
+    view = memoryview(payload)
+    pos = 0
+    starts, rlens = [], []
+    olens, crlens, ftabs = [], [], []
+    while pos < len(view):
+        freqs, olen, clen, rlen, pos = read_chunk_header(view, pos)
+        if lanes >= 2:
+            lane_clens, p = read_lane_table(view, pos, rlen, lanes)
+            if sum(lane_clens) != clen - (p - pos):
+                raise ValueError("corrupt lane table")
+            starts.extend(np.cumsum([p] + lane_clens[:-1]).tolist())
+            rlens.extend(lane_rlen(rlen, lanes, l) for l in range(lanes))
+        else:
+            starts.append(pos)
+            rlens.append(rlen)
+        olens.append(olen)
+        crlens.append(rlen)
+        ftabs.append(freqs)
+        pos += clen
+    return {
+        "starts": np.asarray(starts, np.int32),
+        "rlens": np.asarray(rlens, np.int32),
+        "chunk_olens": np.asarray(olens, np.int32),
+        "chunk_rlens": np.asarray(crlens, np.int32),
+        "freqs": np.asarray(ftabs, np.int32).reshape(len(olens), 256),
+    }
+
+
+def plan_shapes(metas, payload_lens, blocksize: int, lanes: int):
+    """Common static capacities for a batch of blocks (pow2-bucketed so jit
+    variants stay bounded)."""
+    cmax = _pow2(max((m["chunk_olens"].size for m in metas), default=1), 1)
+    lmax = cmax * max(lanes, 1)
+    rmax = _pow2(max((int(m["rlens"].max()) if m["rlens"].size else 1)
+                     for m in metas), 16)
+    ocap = _pow2(max((int(m["chunk_olens"].max()) if m["chunk_olens"].size
+                      else 1) for m in metas), 16)
+    ocap = min(ocap, _pow2(ANS_CHUNK_SIZE))
+    pcap = _pow2(max(payload_lens), 64)
+    out_cap = _pow2(int(blocksize * 1.05) + 1024)
+    max_tokens = max(out_cap // 256, 4096)
+    return dict(cmax=cmax, lmax=lmax, rmax=rmax, ocap=ocap, pcap=pcap,
+                out_cap=out_cap, max_tokens=max_tokens)
+
+
+def pack_meta(meta, payload: bytes, shapes):
+    """Pad one block's metadata + payload to the batch's static shapes."""
+    cmax, lmax, rmax, ocap = (shapes["cmax"], shapes["lmax"],
+                              shapes["rmax"], shapes["ocap"])
+    pay = np.zeros(shapes["pcap"], np.uint8)
+    pay[: len(payload)] = np.frombuffer(payload, np.uint8)
+    starts = np.zeros(lmax, np.int32)
+    rlens = np.full(lmax, -1, np.int32)
+    k = meta["starts"].size
+    starts[:k] = meta["starts"]
+    rlens[:k] = meta["rlens"]
+    if np.any(meta["rlens"] > rmax):
+        raise ValueError("chain length exceeds plan")
+    olens = np.zeros(cmax, np.int32)
+    crlens = np.zeros(cmax, np.int32)
+    freqs = np.zeros((cmax, 256), np.int32)
+    c = meta["chunk_olens"].size
+    olens[:c] = meta["chunk_olens"]
+    crlens[:c] = meta["chunk_rlens"]
+    freqs[:c] = meta["freqs"]
+    return pay, starts, rlens, olens, crlens, freqs
+
+
+_JIT_CACHE = {}
+
+
+def _jitted_core(lanes, units, rmax, ocap, out_cap, max_tokens):
+    import jax
+
+    key = (lanes, units, rmax, ocap, out_cap, max_tokens)
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        from ..kernels.device_stages import decode_block_core
+
+        fn = jax.jit(partial(
+            decode_block_core, lanes=lanes, units=units, rmax=rmax,
+            ocap=ocap, out_cap=out_cap, max_tokens=max_tokens))
+        _JIT_CACHE[key] = fn
+    return fn
+
+
+def decode_block_device(payload: bytes, crc: int, blocksize: int,
+                        units: int = 120, lanes: int = 0) -> np.ndarray:
+    """Decode one framed block's payload entirely on device; CRC-checks the
+    fetched result.  The single-chip counterpart of the sharded multi-chip
+    step (runtime/sharding.py)."""
+    import jax
+
+    meta = block_meta(payload, lanes)
+    shapes = plan_shapes([meta], [len(payload)], blocksize, lanes)
+    packed = pack_meta(meta, payload, shapes)
+    fn = _jitted_core(lanes, units, shapes["rmax"], shapes["ocap"],
+                      shapes["out_cap"], shapes["max_tokens"])
+    out, n, ok = fn(*packed)
+    out = np.asarray(jax.device_get(out))
+    if not bool(ok):
+        raise ValueError("device decode failed (corrupt stream)")
+    data = out[: int(n)]
+    if _checksum.integrity_check(data) != (crc & 0xFFFFFFFF):
+        raise ValueError("detected corrupt block")
+    return data

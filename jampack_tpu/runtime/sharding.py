@@ -99,6 +99,98 @@ def sharded_codec_step(mesh: Mesh):
     )
 
 
+def sharded_full_decode_step(mesh: Mesh, lanes: int, units: int, shapes):
+    """The real multi-chip decode: each device runs the ENTIRE per-block
+    decode chain (wide rANS -> RLE0 -> rank -> inverse BWT -> LZ -> Lpx ->
+    filters -> LZ) on its own framed block — the device mirror of the
+    reference's parallel block loop (jampack.cpp:313-317 running
+    jampack.cpp:47-58 per instance).  One block per device per call so the
+    block-level lax.cond fast paths (LPC, inline filters) stay real
+    branches rather than vmap-selects."""
+    from functools import partial as _partial
+
+    from ..kernels.device_stages import decode_block_core
+
+    core = _partial(
+        decode_block_core, lanes=lanes, units=units, rmax=shapes["rmax"],
+        ocap=shapes["ocap"], out_cap=shapes["out_cap"],
+        max_tokens=shapes["max_tokens"])
+
+    def per_shard(pay, starts, rlens, olens, crlens, freqs):
+        out, n, ok = core(pay[0], starts[0], rlens[0], olens[0], crlens[0],
+                          freqs[0])
+        done = jax.lax.psum((n > 0).astype(jnp.int32), axis_name="data")
+        return out[None], n[None], ok[None], done
+
+    return jax.jit(
+        shard_map(
+            per_shard,
+            mesh,
+            (P("data", None), P("data", None), P("data", None),
+             P("data", None), P("data", None), P("data", None, None)),
+            (P("data", None), P("data"), P("data"), P()),
+        )
+    )
+
+
+def decode_archive_sharded(inp, mesh: Mesh = None):
+    """Decode a whole archive (file object) with one framed block per
+    device: reads + meta-parses block headers on the host (format metadata
+    only), runs the fused device decode chain across the mesh in batches of
+    mesh size, CRC-checks each fetched block, and returns the plaintext
+    bytes in file order."""
+    from ..format import framing
+    from ..format import checksum as _checksum
+    from .device_decode import block_meta, pack_meta, plan_shapes
+
+    mesh = mesh or make_mesh()
+    D = mesh.devices.size
+    recs = []
+    while True:
+        rec = framing.read_block(inp)
+        if rec is None:
+            break
+        recs.append(rec)
+    if not recs:
+        return b""
+    units = recs[0][0].units
+    lanes = recs[0][0].lanes
+    blocksize = max(r[0].blocksize for r in recs)
+    if any(r[0].units != units or r[0].lanes != lanes for r in recs):
+        raise ValueError("mixed stream parameters in one archive")
+
+    metas = [block_meta(r[1], lanes) for r in recs]
+    shapes = plan_shapes(metas, [len(r[1]) for r in recs], blocksize, lanes)
+    step = sharded_full_decode_step(mesh, lanes, units, shapes)
+    sharding1 = NamedSharding(mesh, P("data", None))
+    sharding2 = NamedSharding(mesh, P("data", None, None))
+
+    out_parts = [None] * len(recs)
+    for b0 in range(0, len(recs), D):
+        batch = list(range(b0, min(b0 + D, len(recs))))
+        packed = [pack_meta(metas[i], recs[i][1], shapes) for i in batch]
+        while len(packed) < D:  # pad the final batch with block 0
+            packed.append(packed[0])
+        cols = list(zip(*packed))
+        args = [
+            jax.device_put(np.stack(c), sharding2 if c[0].ndim == 2
+                           else sharding1)
+            for c in cols
+        ]
+        out, ns, oks, _ = step(*args)
+        out = np.asarray(jax.device_get(out))
+        ns = np.asarray(jax.device_get(ns))
+        oks = np.asarray(jax.device_get(oks))
+        for j, i in enumerate(batch):
+            if not bool(oks[j]):
+                raise ValueError("device decode failed (corrupt stream)")
+            data = out[j, : int(ns[j])]
+            if _checksum.integrity_check(data) != (recs[i][0].crc & 0xFFFFFFFF):
+                raise ValueError("detected corrupt block")
+            out_parts[i] = data.tobytes()
+    return b"".join(out_parts)
+
+
 def roundtrip_blocks(blocks: np.ndarray, mesh: Mesh = None):
     """Host entry: blocks (B, L) uint8, B divisible by mesh size.  Returns
     (reconstruction, bwt, metric) gathered in block order."""
