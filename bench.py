@@ -99,11 +99,67 @@ def main():
         "value": round(value, 5),
         "unit": "GB/s/chip",
         "vs_baseline": round(value / REF_BWT_COMBINED_GBPS, 3),
+        "extra": _e2e_metrics(data),
     }
     print(json.dumps(result))
     if not exact:
         print("WARNING: inverse mismatch", file=sys.stderr)
         sys.exit(1)
+
+
+def _e2e_metrics(data: np.ndarray) -> dict:
+    """Secondary end-to-end numbers (VERDICT r1 item 1): full-pipeline
+    decode GB/s/chip on the 8 MB block for the hybrid engine (native host
+    serial stages + TPU BWT kernels) and for the fully device-resident
+    fused decode chain, plus native encode MB/s.  Failures degrade to
+    error strings so the primary metric always prints."""
+    import time
+
+    out = {}
+    n = int(data.size)
+    try:
+        from jampack_tpu.runtime.engines import HybridEngine, NativeEngine
+        from jampack_tpu.runtime.pipeline import (
+            Options, compress_block, decompress_block)
+
+        ne = NativeEngine()
+        opt = Options(blocksize=n, filters=0, match_finder=0)
+        t0 = time.time()
+        crc, payload = compress_block(data, opt, ne)
+        out["encode_native_8mb_mbps"] = round(n / 1e6 / (time.time() - t0), 2)
+
+        he = HybridEngine()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            back = decompress_block(payload, crc, he, opt.blocksize)
+            best = min(best, time.time() - t0)
+        assert np.array_equal(back, data)
+        out["decode_e2e_hybrid_8mb_gbps"] = round(n / 1e9 / best, 5)
+    except Exception as e:  # pragma: no cover
+        out["decode_e2e_hybrid_8mb_gbps"] = f"error: {e}"
+
+    try:
+        from jampack_tpu.runtime.device_decode import decode_block_device
+        from jampack_tpu.runtime.engines import NativeEngine
+        from jampack_tpu.runtime.pipeline import Options, compress_block
+
+        # JTX wide-interleave stream sized for the device chain: 8 KB
+        # entropy chunks x 16 lanes = 32768 lockstep chains per block
+        opt = Options(blocksize=n, filters=0, match_finder=0,
+                      rans_lanes=16, ans_chunk=8 << 10, anchor_units=960)
+        crc, payload = compress_block(data, opt, NativeEngine())
+        back = decode_block_device(payload, crc, opt.blocksize,
+                                   opt.anchor_units, opt.rans_lanes)  # warmup
+        assert np.array_equal(back, data)
+        t0 = time.time()
+        back = decode_block_device(payload, crc, opt.blocksize,
+                                   opt.anchor_units, opt.rans_lanes)
+        dt = time.time() - t0
+        out["decode_e2e_tpu_fused_8mb_gbps"] = round(n / 1e9 / dt, 5)
+    except Exception as e:  # pragma: no cover
+        out["decode_e2e_tpu_fused_8mb_gbps"] = f"error: {e}"
+    return out
 
 
 if __name__ == "__main__":

@@ -490,7 +490,14 @@ def ibwt_dyn_core(buf: jnp.ndarray, total, units: int, out_cap: int):
     sorted_keys, order = jax.lax.sort((keys, pos), num_keys=1, is_stable=True)
     idx = anchors[0]
     lf = order + (order >= idx).astype(jnp.int32)
-    cmap = (lf << 8) | (sorted_keys & 0xFF)
+    # combined (lf << 8 | byte) packing overflows once lf can reach 2^24
+    # (total <= out_cap implies nlen < out_cap, so out_cap <= 2^24 is safe
+    # in uint32); bigger blocks take the split two-gather path
+    combined = out_cap <= (1 << 24)
+    if combined:
+        cmap = (lf.astype(jnp.uint32) << 8) | (sorted_keys & 0xFF).astype(jnp.uint32)
+    else:
+        sbyte = (sorted_keys & 0xFF).astype(jnp.uint8)
 
     step = jnp.where(nlen > 0, nlen // units, 0)
     step_cap = out_cap // units + 1
@@ -498,11 +505,17 @@ def ibwt_dyn_core(buf: jnp.ndarray, total, units: int, out_cap: int):
 
     def body(i, carry):
         p, chunk = carry
-        c = cmap[jnp.clip(p - 1, 0, out_cap - 1)]
-        p = jnp.clip(c >> 8, 0, out_cap)
+        j = jnp.clip(p - 1, 0, out_cap - 1)
+        if combined:
+            c = cmap[j]
+            nxt = jnp.clip((c >> 8).astype(jnp.int32), 0, out_cap)
+            byte = (c & 0xFF).astype(jnp.uint8)
+        else:
+            nxt = jnp.clip(lf[j], 0, out_cap)
+            byte = sbyte[j]
         chunk = jax.lax.dynamic_update_slice(
-            chunk, (c & 0xFF).astype(jnp.uint8)[None, :], (i, 0))
-        return p, chunk
+            chunk, byte[None, :], (i, 0))
+        return nxt, chunk
 
     p0 = jnp.clip(anchors, 1, jnp.maximum(nlen, 1))
     _, chunk = jax.lax.fori_loop(0, step, body, (p0, chunk))

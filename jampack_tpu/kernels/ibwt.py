@@ -32,12 +32,17 @@ def combined_map_core(bwt: jnp.ndarray, idx: jnp.ndarray, nlen: int) -> jnp.ndar
     LF pointer and the payload byte, fusing the two chase gathers into one.
     The primary-index position adjustment positions[order] is elementwise
     (order + (order >= idx)), not a gather: the whole map costs one sort.
+
+    uint32 packing: lf <= nlen must stay < 2^24 (an int32 pack silently
+    overflowed at nlen > 2^23 — caught on an 8,388,840-byte stage buffer).
+    Callers with nlen >= 2^24 must use the split two-gather path.
     """
+    assert nlen < (1 << 24), "combined map packing needs nlen < 2^24"
     sorted_bwt, order = jax.lax.sort(
         (bwt, jnp.arange(nlen, dtype=jnp.int32)), num_keys=1, is_stable=True
     )
-    lf = order + (order >= idx).astype(jnp.int32)
-    return (lf << 8) | sorted_bwt.astype(jnp.int32)
+    lf = (order + (order >= idx).astype(jnp.int32)).astype(jnp.uint32)
+    return (lf << 8) | sorted_bwt.astype(jnp.uint32)
 
 
 _combined_map = partial(jax.jit, static_argnames=("nlen",))(combined_map_core)
@@ -51,7 +56,7 @@ def chase_combined_core(cmap: jnp.ndarray, anchors: jnp.ndarray, nlen: int,
     def body(i, carry):
         p, out = carry
         c = cmap[p - 1]
-        p = c >> 8
+        p = (c >> 8).astype(jnp.int32)
         out = jax.lax.dynamic_update_slice(
             out, (c & 0xFF).astype(jnp.uint8)[None, :], (i, 0)
         )
@@ -72,21 +77,35 @@ def inverse_bwt_tpu(buf: np.ndarray, units: int = BWT_UNITS) -> np.ndarray:
     `units` is the number of chains actually chased; any divisor-compatible
     count works because anchors are equally spaced in output space — we
     always use all transmitted anchors for maximum parallelism.
+
+    Sizes are pow2-bucketed and the actual length is traced (via
+    device_stages.ibwt_dyn_core), so decoding a stream of blocks with
+    varying stage sizes reuses ONE compile per bucket instead of paying a
+    fresh multi-minute XLA compile per distinct length.
     """
+    from .device_stages import ibwt_dyn_core
+
     buf = np.asarray(buf, dtype=np.uint8)
     n = buf.size - units * 4
-    anchors = buf[n:].view("<i4").astype(np.int32)
-    remainder = n % units
-    nlen = n - remainder
-    out = np.empty(n, dtype=np.uint8)
-    out[nlen:n] = buf[nlen:n]
-    if nlen > 0:
-        bwt = jnp.asarray(buf[:nlen])
-        idx = jnp.asarray(anchors[0], dtype=jnp.int32)
-        cmap = _combined_map(bwt, idx, nlen)
-        body = _chase_combined(cmap, jnp.asarray(anchors), nlen, units)
-        out[:nlen] = np.asarray(jax.device_get(body))
-    return out
+    if n <= 0 or n - (n % units) <= 0:
+        # tiny stream: raw tail only (plus anchors)
+        return buf[:max(n, 0)].copy()
+    cap = 1 << max((buf.size - 1).bit_length(), 8)
+    key = (cap, units)
+    fn = _DYN_JITS.get(key)
+    if fn is None:
+        fn = jax.jit(partial(ibwt_dyn_core, units=units, out_cap=cap))
+        _DYN_JITS[key] = fn
+    padded = np.zeros(cap, dtype=np.uint8)
+    padded[: buf.size] = buf
+    out, out_len, ok = fn(jnp.asarray(padded), buf.size)
+    out = np.asarray(jax.device_get(out))
+    if not bool(ok):
+        raise ValueError("invalid anchor table")
+    return out[:n]
+
+
+_DYN_JITS = {}
 
 
 def plant_anchors(sa: np.ndarray, nlen: int, units: int) -> np.ndarray:

@@ -129,12 +129,16 @@ def decode_lanes_wide(buf: jnp.ndarray, starts: jnp.ndarray,
         ei = jnp.clip(e, 0, _NSW - 1)
         qi = jnp.clip(e - _NSW, 0, NQ - 1)
 
-        ma_rows = jnp.take_along_axis(
-            ma_cum, ei[:, None, None], axis=1
-        )[:, 0]  # (L, 3)
-        q_rows = jnp.take_along_axis(
-            q_cum, qi[:, None, None], axis=1
-        )[:, 0]  # (L, 130)
+        # model-row selection by k-way select, NOT take_along_axis: a
+        # random gather over the (L, NQ, 130) bank costs ~100 ms/step at
+        # tens of thousands of lanes on this platform (CLAUDE.md facts);
+        # NQ/NSW are tiny static counts so masked selects are ~free VPU ops
+        ma_rows = jnp.where(
+            (ei == 0)[:, None], ma_cum[:, 0], ma_cum[:, 1]
+        )  # (L, 3)
+        q_rows = q_cum[:, 0]
+        for k in range(1, NQ):
+            q_rows = jnp.where((qi == k)[:, None], q_cum[:, k], q_rows)
         m_a = _find(ma_rows, rng)
         m_q = _find(q_rows, rng)
         m = jnp.where(is_adaptive, m_a, m_q)
@@ -157,22 +161,33 @@ def decode_lanes_wide(buf: jnp.ndarray, starts: jnp.ndarray,
         interior3 = (jnp.arange(3) == 1)
         new_rows = jnp.where(interior3[None, :], new_rows, ma_rows)
         new_rows = jnp.where(a_upd[:, None], new_rows, ma_rows)
-        ma_cum = ma_cum.at[l_idx, ei].set(new_rows)
+        # static-slice writes per model (2-way) instead of a scatter
+        ma_cum = jnp.stack(
+            [jnp.where((a_upd & (ei == k))[:, None], new_rows, ma_cum[:, k])
+             for k in range(_NSW)], axis=1)
 
-        # ---- quasi mantissa count/seen updates
+        # ---- quasi mantissa count/seen updates (masked adds per model)
         q_upd = active & jnp.logical_not(is_adaptive)
-        q_freqs = q_freqs.at[l_idx, qi, m_q].add(
-            jnp.where(q_upd, PROB_BITS, 0)
-        )
-        seen_row = q_seen[l_idx, qi] + jnp.where(q_upd, 1, 0)
-        q_seen = q_seen.at[l_idx, qi].set(seen_row)
+        hit_col = jnp.arange(QALPHA)[None, :] == m_q[:, None]  # (L, 129)
+        q_freqs = jnp.stack(
+            [q_freqs[:, k]
+             + jnp.where((q_upd & (qi == k))[:, None] & hit_col,
+                         jnp.int32(PROB_BITS), 0)
+             for k in range(NQ)], axis=1)
+        nq_col = jnp.arange(NQ)[None, :]
+        q_hit = (nq_col == qi[:, None]) & q_upd[:, None]  # (L, NQ)
+        q_seen = q_seen + q_hit.astype(jnp.int32)
+        seen_row = jnp.sum(jnp.where(q_hit, q_seen, 0), axis=1)
+        exp_row = jnp.sum(jnp.where(q_hit, q_exp, 0), axis=1)
 
         # ---- quasi rescale behind ONE scalar predicate
-        pred = q_upd & (seen_row > q_exp[l_idx, qi])
+        pred = q_upd & (seen_row > exp_row)
 
         def rescale(args):
             q_freqs, q_cum, q_seen, q_exp = args
-            qf = q_freqs[l_idx, qi]                     # (L, 129)
+            qf = q_freqs[:, 0]                          # (L, 129) via select
+            for k in range(1, NQ):
+                qf = jnp.where((qi == k)[:, None], q_freqs[:, k], qf)
             alpha = q_alphas[qi]                        # (L,)
             lanes = q_mask[qi]                          # (L, 129)
             total = jnp.sum(qf * lanes, axis=1)
@@ -200,22 +215,18 @@ def decode_lanes_wide(buf: jnp.ndarray, starts: jnp.ndarray,
                 cum,
                 jnp.int32(1 << 30),
             )
-            old_rows = q_cum[l_idx, qi]
-            q_cum = q_cum.at[l_idx, qi].set(
-                jnp.where(pred[:, None], cum, old_rows)
-            )
-            q_freqs = q_freqs.at[l_idx, qi].set(
-                jnp.where(pred[:, None], 0, qf)
-            )
-            q_seen = q_seen.at[l_idx, qi].set(
-                jnp.where(pred, 0, q_seen[l_idx, qi])
-            )
-            old_exp = q_exp[l_idx, qi]
-            new_exp = jnp.where(old_exp < UPDATE_RATE, old_exp << 1,
-                                UPDATE_RATE)
-            q_exp = q_exp.at[l_idx, qi].set(
-                jnp.where(pred, new_exp, old_exp)
-            )
+            # masked static-slice writes per model (no scatters)
+            rowm = [(pred & (qi == k))[:, None] for k in range(NQ)]
+            q_cum = jnp.stack(
+                [jnp.where(rowm[k], cum, q_cum[:, k]) for k in range(NQ)],
+                axis=1)
+            q_freqs = jnp.stack(
+                [jnp.where(rowm[k], 0, q_freqs[:, k]) for k in range(NQ)],
+                axis=1)
+            resc_hit = (nq_col == qi[:, None]) & pred[:, None]  # (L, NQ)
+            q_seen = jnp.where(resc_hit, 0, q_seen)
+            new_exp = jnp.where(q_exp < UPDATE_RATE, q_exp << 1, UPDATE_RATE)
+            q_exp = jnp.where(resc_hit, new_exp, q_exp)
             return q_freqs, q_cum, q_seen, q_exp
 
         q_freqs, q_cum, q_seen, q_exp = jax.lax.cond(

@@ -162,3 +162,21 @@ def test_wide_decoder_matches_scalar_kernel():
     for l in range(lanes):
         want = decode_pairs(view, int(starts[l]), int(rlens[l]))
         assert np.array_equal(got[l, : rlens[l]], want), l
+
+
+def test_ibwt_tpu_past_2_23_boundary():
+    """Regression: the combined LF-map packing overflowed int32 once
+    nlen > 2^23 (lf << 8 needs 24+8 bits) — silently corrupting inverse
+    BWT on stage buffers over 8,388,608 bytes (seen at 8,388,840)."""
+    import numpy as np
+
+    from jampack_tpu.kernels.ibwt import inverse_bwt_tpu
+    from jampack_tpu.stages.bwt import forward_bwt
+
+    n = (1 << 23) + 240  # nlen lands just past the int32-packing boundary
+    rng = np.random.default_rng(9)
+    alpha = np.frombuffer(b" etaoinshrdlu.,\n", dtype=np.uint8)
+    data = alpha[rng.integers(0, alpha.size, n)]
+    buf = forward_bwt(data, 120)
+    out = inverse_bwt_tpu(buf, 120)
+    assert np.array_equal(out, data)
