@@ -144,17 +144,21 @@ def _e2e_metrics(data: np.ndarray) -> dict:
         from jampack_tpu.runtime.engines import NativeEngine
         from jampack_tpu.runtime.pipeline import Options, compress_block
 
-        # JTX wide-interleave stream sized for the device chain: 8 KB
-        # entropy chunks x 16 lanes = 32768 lockstep chains per block
+        # JT3 wide-interleave stream sized for the device chain: 8 KB
+        # entropy chunks x 16 lanes = 32768 lockstep rANS chains, 960 BWT
+        # anchor chains, 960 Lpx spans per block
         opt = Options(blocksize=n, filters=0, match_finder=0,
-                      rans_lanes=16, ans_chunk=8 << 10, anchor_units=960)
+                      rans_lanes=16, ans_chunk=8 << 10, anchor_units=960,
+                      lpx_spans=960)
         crc, payload = compress_block(data, opt, NativeEngine())
         back = decode_block_device(payload, crc, opt.blocksize,
-                                   opt.anchor_units, opt.rans_lanes)  # warmup
+                                   opt.anchor_units, opt.rans_lanes,
+                                   opt.lpx_spans)  # warmup
         assert np.array_equal(back, data)
         t0 = time.time()
         back = decode_block_device(payload, crc, opt.blocksize,
-                                   opt.anchor_units, opt.rans_lanes)
+                                   opt.anchor_units, opt.rans_lanes,
+                                   opt.lpx_spans)
         dt = time.time() - t0
         out["decode_e2e_tpu_fused_8mb_gbps"] = round(n / 1e9 / dt, 5)
     except Exception as e:  # pragma: no cover

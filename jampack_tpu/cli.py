@@ -7,8 +7,9 @@ Flags (main.cpp:65-89 semantics): -b block size in MB (1..1000), -m match
 finder (0 dedupe / 1 hash chain / 2 suffix array), -f filters (0 off /
 1 heuristic / 2 brute force / 3 TPU device search), -t threads, -T
 single-block low-memory decode.
-Extra: --engine numpy|native|tpu|hybrid (default native); JTX stream parameters
--u# BWT anchor units, -c# ANS chunk KB, -L# rANS lane-interleave width.
+Extra: --engine numpy|native|tpu|hybrid (default native); JTX/JT3 stream
+parameters -u# BWT anchor units, -c# ANS chunk KB, -L# rANS lane-interleave
+width, -S# Lpx span count (intra-block Lpx parallel width).
 """
 
 import sys
@@ -123,6 +124,11 @@ def _parse(argv):
                     from .runtime.pipeline import validate_rans_lanes
 
                     opt.rans_lanes = validate_rans_lanes(int(num))
+                elif c == "S" and num:
+                    # JT3 Lpx span count (intra-block Lpx parallel width)
+                    from .runtime.pipeline import validate_lpx_spans
+
+                    opt.lpx_spans = validate_lpx_spans(int(num))
                 elif c == "m" and num:
                     opt.match_finder = int(num)
                 elif c == "f" and num:
@@ -149,12 +155,15 @@ def info(path: str) -> int:
             if rec is None:
                 break
             h, payload = rec
-            native = framing.is_native(h.units, h.lanes)
-            kind = "JTX" if native else "JAM"
-            extra = f" units={h.units} lanes={h.lanes}" if native else ""
+            native = framing.is_native(h.units, h.lanes, h.lpx_spans)
+            v3 = h.lpx_spans != framing.DEFAULT_LPX_SPANS
+            kind = ("JT3" if v3 else "JTX") if native else "JAM"
+            extra = (f" units={h.units} lanes={h.lanes} spans={h.lpx_spans}"
+                     if native else "")
             print(f"block {n}: {kind} crc=0x{h.crc:08x} csize={h.csize} "
                   f"blocksize={h.blocksize}{extra}")
-            total_c += h.csize + framing.header_size(h.units, h.lanes)
+            total_c += h.csize + framing.header_size(h.units, h.lanes,
+                                                     h.lpx_spans)
             n += 1
     print(f"{n} blocks, {total_c} compressed bytes")
     return 0
@@ -199,7 +208,8 @@ def run(argv):
                         break
                     crc, payload = window.popleft().result()
                     framing.write_block(fout, crc, payload, opt.blocksize,
-                                        opt.anchor_units, opt.rans_lanes)
+                                        opt.anchor_units, opt.rans_lanes,
+                                        opt.lpx_spans)
                     comp += len(payload) + framing.HEADER_SIZE
                     progress.update(raw, comp)
         elif mode == "d":
@@ -207,7 +217,7 @@ def run(argv):
                 header, payload = args
                 return decompress_block(payload, header.crc, engine,
                                         header.blocksize, header.units,
-                                        header.lanes)
+                                        header.lanes, header.lpx_spans)
 
             from collections import deque
 

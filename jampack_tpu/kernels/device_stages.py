@@ -298,10 +298,16 @@ def lz_expand_core(buf: jnp.ndarray, d_, s_, l_, o_, m_, out_len,
     """Vectorized region fill + pointer-doubling resolve over parsed tokens."""
     MT = d_.shape[0]
     # region boundaries: token j owns literal region at d_[j] and match
-    # region at d_[j] + l_[j]; unused slots sit past out_cap
+    # region at d_[j] + l_[j]; unused slots sit past out_cap.
+    # Region assignment via scatter + cumsum: a searchsorted here is
+    # log2(2*MT) rounds of out_cap-wide random gathers (~3.5 s at 16M on
+    # this platform); one small scatter and a scan cost ~100 ms.
     starts = jnp.stack([d_, d_ + l_], axis=1).reshape(-1)  # (2*MT,)
     p = jnp.arange(out_cap, dtype=jnp.int32)
-    r = jnp.searchsorted(starts, p, side="right").astype(jnp.int32) - 1
+    marks = jnp.zeros(out_cap + 1, jnp.int32).at[
+        jnp.clip(starts, 0, out_cap)
+    ].add(1, mode="drop")[:out_cap]
+    r = jnp.cumsum(marks).astype(jnp.int32) - 1
     r = jnp.clip(r, 0, 2 * MT - 1)
     tok = r >> 1
     is_lit = (r & 1) == 0
@@ -432,23 +438,29 @@ def filters_decode_dyn_core(buf: jnp.ndarray, m, out_cap: int):
 from .lpx_tpu import _code_span
 
 
-def lpx_dyn_core(buf: jnp.ndarray, n, out_cap: int, decode: bool):
-    """Lpx over a dynamic-length stream: the reference's split (stages.lpx
-    _split_spans) yields spans [0,b),[b,2b),[2b,3b),[3b,4b),[4b,n) with
-    b = n//4 (the 5th span is the n%4 tail, empty when 4 | n; b == 0 for
-    tiny inputs degenerates to one span)."""
-    b = n // 4
-    span_cap = out_cap // 4 + 4
+def lpx_dyn_core(buf: jnp.ndarray, n, out_cap: int, decode: bool,
+                 spans: int = 4):
+    """Lpx over a dynamic-length stream: the split (stages.lpx _split_spans)
+    yields `spans` equal sub-blocks of b = n//spans plus an n%spans tail
+    span (empty when spans | n; b == 0 for tiny inputs degenerates to one
+    span).  spans = 4 is the reference's format-fixed split
+    (lpx.cpp:150-169); JT3 streams carry it as a parameter — span count is
+    the intra-block parallel width of this irreducibly serial model, so it
+    directly divides the lockstep walk length."""
+    S = spans
+    b = n // S
+    span_cap = out_cap // S + S + 4
     tiny = b == 0
     starts = jnp.where(
         tiny,
-        jnp.zeros(5, jnp.int32),
-        jnp.arange(5, dtype=jnp.int32) * b,
+        jnp.zeros(S + 1, jnp.int32),
+        jnp.arange(S + 1, dtype=jnp.int32) * b,
     )
     lens = jnp.where(
         tiny,
-        jnp.concatenate([jnp.atleast_1d(n), jnp.zeros(4, jnp.int32)]),
-        jnp.concatenate([jnp.full(4, b, jnp.int32), jnp.atleast_1d(n - 4 * b)]),
+        jnp.concatenate([jnp.atleast_1d(n), jnp.zeros(S, jnp.int32)]),
+        jnp.concatenate([jnp.full(S, b, jnp.int32),
+                         jnp.atleast_1d(n - S * b)]),
     )
     jj = jnp.arange(span_cap, dtype=jnp.int32)
     gidx = jnp.clip(starts[:, None] + jj[None, :], 0, buf.shape[0] - 1)
@@ -538,7 +550,7 @@ def decode_block_core(payload: jnp.ndarray, starts: jnp.ndarray,
                       rlens: jnp.ndarray, chunk_olens: jnp.ndarray,
                       chunk_rlens: jnp.ndarray, freqs: jnp.ndarray,
                       lanes: int, units: int, rmax: int, ocap: int,
-                      out_cap: int, max_tokens: int):
+                      out_cap: int, max_tokens: int, lpx_spans: int = 4):
     """The whole per-block decode chain, device-resident under one jit:
 
         wide-interleaved rANS -> RLE0 -> SRC rank -> inverse BWT
@@ -581,23 +593,20 @@ def decode_block_core(payload: jnp.ndarray, starts: jnp.ndarray,
     # ---- 4. SRC rank decode, all chunks in lockstep
     chunk_bytes, rank_ok = rank_decode_core(ranks, freqs, chunk_olens, ocap)
 
-    # ---- 5. concatenate chunks
+    # ---- 5. concatenate chunks: one flat scatter of the chunk rows
+    # (a searchsorted-based gather costs ~2 s at 16M positions here)
     base = jnp.cumsum(chunk_olens) - chunk_olens
     total = jnp.sum(chunk_olens)
-    p = jnp.arange(out_cap, dtype=jnp.int32)
-    ci = jnp.clip(
-        jnp.searchsorted(base + chunk_olens, p, side="right"), 0, CMAX - 1
-    ).astype(jnp.int32)
-    stage = jnp.where(
-        p < total,
-        chunk_bytes[ci, jnp.clip(p - base[ci], 0, ocap - 1)],
-        0,
-    ).astype(jnp.uint8)
+    jj = jnp.arange(ocap, dtype=jnp.int32)[None, :]
+    flat_pos = jnp.where(jj < chunk_olens[:, None], base[:, None] + jj,
+                         out_cap)
+    stage = jnp.zeros(out_cap + 1, jnp.uint8).at[flat_pos.reshape(-1)].set(
+        chunk_bytes.reshape(-1), mode="drop")[:out_cap]
 
     # ---- 6..9. inverse BWT, LZ (mode), Lpx, filters, LZ (dedupe)
     stage, n, ib_ok = ibwt_dyn_core(stage, total, units, out_cap)
     stage, n, lz1_ok = lz_decode_dyn_core(stage, n, max_tokens, out_cap)
-    stage = lpx_dyn_core(stage, n, out_cap, decode=True)
+    stage = lpx_dyn_core(stage, n, out_cap, decode=True, spans=lpx_spans)
     stage, n, f_ok = filters_decode_dyn_core(stage, n, out_cap)
     out, n, lz0_ok = lz_decode_dyn_core(stage, n, max_tokens, out_cap)
 

@@ -169,11 +169,11 @@ def _code_spans(spans, lengths, max_len: int, decode: bool):
     )
 
 
-def _lpx_tpu(data: np.ndarray, decode: bool) -> np.ndarray:
+def _lpx_tpu(data: np.ndarray, decode: bool, nspans: int = 4) -> np.ndarray:
     from ..stages.lpx import _split_spans
 
     data = np.asarray(data, dtype=np.uint8)
-    spans = _split_spans(data.size)
+    spans = _split_spans(data.size, nspans)
     if not spans:
         return np.zeros(0, dtype=np.uint8)
     max_len = max(ln for _, ln in spans)
@@ -192,9 +192,9 @@ def _lpx_tpu(data: np.ndarray, decode: bool) -> np.ndarray:
     return res
 
 
-def lpx_encode_tpu(data: np.ndarray) -> np.ndarray:
-    return _lpx_tpu(data, decode=False)
+def lpx_encode_tpu(data: np.ndarray, spans: int = 4) -> np.ndarray:
+    return _lpx_tpu(data, decode=False, nspans=spans)
 
 
-def lpx_decode_tpu(data: np.ndarray) -> np.ndarray:
-    return _lpx_tpu(data, decode=True)
+def lpx_decode_tpu(data: np.ndarray, spans: int = 4) -> np.ndarray:
+    return _lpx_tpu(data, decode=True, nspans=spans)

@@ -54,9 +54,9 @@ def _load():
     lib.jam_ans_encode_c.restype = c64
     lib.jam_ans_decode.argtypes = [u8p, c64, u8p, c64, c, c]
     lib.jam_ans_decode.restype = c64
-    lib.jam_lpx_encode.argtypes = [u8p, c64, u8p, c]
+    lib.jam_lpx_encode.argtypes = [u8p, c64, u8p, c, c]
     lib.jam_lpx_encode.restype = c64
-    lib.jam_lpx_decode.argtypes = [u8p, c64, u8p, c]
+    lib.jam_lpx_decode.argtypes = [u8p, c64, u8p, c, c]
     lib.jam_lpx_decode.restype = c64
     lib.jam_filters_encode.argtypes = [u8p, c64, u8p, c, c]
     lib.jam_filters_encode.restype = c64
@@ -129,17 +129,17 @@ def ans_decode(data, cap: int, threads: int = 0, lanes: int = 0) -> np.ndarray:
     return out[:n].copy()
 
 
-def lpx_encode(data, threads: int = 0) -> np.ndarray:
+def lpx_encode(data, threads: int = 0, spans: int = 4) -> np.ndarray:
     a = _as_u8(data)
     out = np.empty(a.size, dtype=np.uint8)
-    _lib.jam_lpx_encode(a, a.size, out, threads)
+    _lib.jam_lpx_encode(a, a.size, out, threads, spans)
     return out
 
 
-def lpx_decode(data, threads: int = 0) -> np.ndarray:
+def lpx_decode(data, threads: int = 0, spans: int = 4) -> np.ndarray:
     a = _as_u8(data)
     out = np.empty(a.size, dtype=np.uint8)
-    _lib.jam_lpx_decode(a, a.size, out, threads)
+    _lib.jam_lpx_decode(a, a.size, out, threads, spans)
     return out
 
 

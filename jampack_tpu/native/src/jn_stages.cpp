@@ -108,8 +108,9 @@ static void code_block(const u8* in, u8* out, i32 len) {
 }
 
 template <bool kDecode>
-static void run(const u8* in, u8* out, i64 n, int threads) {
-  i64 span = n / 4;
+static void run(const u8* in, u8* out, i64 n, int threads, i32 spans) {
+  if (spans < 1) spans = 4;
+  i64 span = n / spans;
   if (span == 0) {
     if (n > 0) code_block<kDecode>(in, out, i32(n));
     return;
@@ -476,15 +477,18 @@ static i64 decode(const u8* in, i64 n, u8* out) {
 
 extern "C" {
 
+// spans: Lpx sub-block count — 4 for reference-compatible streams
+// (lpx.cpp:150-169); a JTX/JT3 stream parameter otherwise (model state
+// resets per span, so span count scales intra-block decode parallelism)
 int64_t jam_lpx_encode(const uint8_t* in, int64_t n, uint8_t* out,
-                       int32_t threads) {
-  jpt::lpx::run<false>(in, out, n, threads);
+                       int32_t threads, int32_t spans) {
+  jpt::lpx::run<false>(in, out, n, threads, spans);
   return n;
 }
 
 int64_t jam_lpx_decode(const uint8_t* in, int64_t n, uint8_t* out,
-                       int32_t threads) {
-  jpt::lpx::run<true>(in, out, n, threads);
+                       int32_t threads, int32_t spans) {
+  jpt::lpx::run<true>(in, out, n, threads, spans);
   return n;
 }
 

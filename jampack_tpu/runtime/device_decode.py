@@ -103,23 +103,26 @@ def pack_meta(meta, payload: bytes, shapes):
 _JIT_CACHE = {}
 
 
-def _jitted_core(lanes, units, rmax, ocap, out_cap, max_tokens):
+def _jitted_core(lanes, units, rmax, ocap, out_cap, max_tokens,
+                 lpx_spans=4):
     import jax
 
-    key = (lanes, units, rmax, ocap, out_cap, max_tokens)
+    key = (lanes, units, rmax, ocap, out_cap, max_tokens, lpx_spans)
     fn = _JIT_CACHE.get(key)
     if fn is None:
         from ..kernels.device_stages import decode_block_core
 
         fn = jax.jit(partial(
             decode_block_core, lanes=lanes, units=units, rmax=rmax,
-            ocap=ocap, out_cap=out_cap, max_tokens=max_tokens))
+            ocap=ocap, out_cap=out_cap, max_tokens=max_tokens,
+            lpx_spans=lpx_spans))
         _JIT_CACHE[key] = fn
     return fn
 
 
 def decode_block_device(payload: bytes, crc: int, blocksize: int,
-                        units: int = 120, lanes: int = 0) -> np.ndarray:
+                        units: int = 120, lanes: int = 0,
+                        lpx_spans: int = 4) -> np.ndarray:
     """Decode one framed block's payload entirely on device; CRC-checks the
     fetched result.  The single-chip counterpart of the sharded multi-chip
     step (runtime/sharding.py)."""
@@ -129,7 +132,7 @@ def decode_block_device(payload: bytes, crc: int, blocksize: int,
     shapes = plan_shapes([meta], [len(payload)], blocksize, lanes)
     packed = pack_meta(meta, payload, shapes)
     fn = _jitted_core(lanes, units, shapes["rmax"], shapes["ocap"],
-                      shapes["out_cap"], shapes["max_tokens"])
+                      shapes["out_cap"], shapes["max_tokens"], lpx_spans)
     out, n, ok = fn(*packed)
     out = np.asarray(jax.device_get(out))
     if not bool(ok):

@@ -63,7 +63,7 @@ def decompress_stream_part(inp, out_dir: str, process_id: int,
             if mine:
                 data = decompress_block(payload, header.crc, engine,
                                         header.blocksize, header.units,
-                                        header.lanes)
+                                        header.lanes, header.lpx_spans)
                 out.write(data.tobytes())
                 sizes[index] = int(data.size)
             index += 1

@@ -42,11 +42,11 @@ class NativeEngine(Engine):
     def filters_decode(self, data):
         return self._n.filters_decode(data)
 
-    def lpx_encode(self, data):
-        return self._n.lpx_encode(data, self.threads)
+    def lpx_encode(self, data, spans=4):
+        return self._n.lpx_encode(data, self.threads, spans)
 
-    def lpx_decode(self, data):
-        return self._n.lpx_decode(data, self.threads)
+    def lpx_decode(self, data, spans=4):
+        return self._n.lpx_decode(data, self.threads, spans)
 
     def bwt_forward(self, data, units=120):
         return self._n.bwt_forward(data, units)
@@ -103,15 +103,15 @@ class TpuEngine(Engine):
 
         return lz77_decode_tpu(data)
 
-    def lpx_encode(self, data):
+    def lpx_encode(self, data, spans=4):
         from ..kernels.lpx_tpu import lpx_encode_tpu
 
-        return lpx_encode_tpu(data)
+        return lpx_encode_tpu(data, spans)
 
-    def lpx_decode(self, data):
+    def lpx_decode(self, data, spans=4):
         from ..kernels.lpx_tpu import lpx_decode_tpu
 
-        return lpx_decode_tpu(data)
+        return lpx_decode_tpu(data, spans)
 
     def filters_encode(self, data, mode: int):
         if mode < 3:

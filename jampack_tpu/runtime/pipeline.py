@@ -25,7 +25,7 @@ from ..stages.lz77 import lz77_decode, lz77_dedupe_encode
 class Options:
     def __init__(self, blocksize=DEFAULT_BLOCKSIZE, match_finder=0, filters=1,
                  threads=1, multiblock=True, anchor_units=120,
-                 ans_chunk=1 << 20, rans_lanes=0):
+                 ans_chunk=1 << 20, rans_lanes=0, lpx_spans=4):
         self.blocksize = int(min(max(blocksize, MIN_BLOCKSIZE), MAX_BLOCKSIZE))
         self.match_finder = match_finder
         self.filters = filters
@@ -38,9 +38,21 @@ class Options:
         # Validate once at the boundary so header and payload always agree
         # across engines (the native encoder supports at most 4096 lanes).
         self.rans_lanes = validate_rans_lanes(rans_lanes)
+        # Lpx sub-block count: 4 = reference split (lpx.cpp:150-169);
+        # other values switch framing to the JT3 native container.  The
+        # span count is the intra-block parallel width of the Lpx model.
+        self.lpx_spans = validate_lpx_spans(lpx_spans)
 
 
 MAX_RANS_LANES = 4096
+MAX_LPX_SPANS = 1 << 16
+
+
+def validate_lpx_spans(spans) -> int:
+    spans = int(spans)
+    if spans < 1 or spans > MAX_LPX_SPANS:
+        raise ValueError(f"lpx_spans {spans} out of range (1..{MAX_LPX_SPANS})")
+    return spans
 
 
 def validate_rans_lanes(lanes) -> int:
@@ -85,11 +97,11 @@ class Engine:
     def filters_decode(self, data):
         return filters_decode(data)
 
-    def lpx_encode(self, data):
-        return lpx_encode(data)
+    def lpx_encode(self, data, spans=4):
+        return lpx_encode(data, spans)
 
-    def lpx_decode(self, data):
-        return lpx_decode(data)
+    def lpx_decode(self, data, spans=4):
+        return lpx_decode(data, spans)
 
     def bwt_forward(self, data, units=120):
         return forward_bwt(data, units)
@@ -111,7 +123,7 @@ def compress_block(data: np.ndarray, opt: Options, engine=None):
     crc = eng.checksum(data)
     s = eng.lz_encode(data, 0)  # dedupe pre-pass (always mode 0)
     s = eng.filters_encode(s, opt.filters)
-    s = eng.lpx_encode(s)
+    s = eng.lpx_encode(s, opt.lpx_spans)
     s = eng.lz_encode(s, opt.match_finder)
     s = eng.bwt_forward(s, opt.anchor_units)
     payload = eng.ans_encode(s, opt.ans_chunk, opt.rans_lanes)
@@ -120,7 +132,8 @@ def compress_block(data: np.ndarray, opt: Options, engine=None):
 
 def decompress_block(payload, crc: int, engine=None,
                      blocksize: int = DEFAULT_BLOCKSIZE,
-                     units: int = 120, lanes: int = 0) -> np.ndarray:
+                     units: int = 120, lanes: int = 0,
+                     lpx_spans: int = 4) -> np.ndarray:
     eng = engine or Engine()
     # the reference sizes all stage buffers at 1.05x the block size
     cap = int(blocksize * 1.05) + 1024
@@ -128,7 +141,7 @@ def decompress_block(payload, crc: int, engine=None,
                        lanes=lanes)
     s = eng.bwt_inverse(s, units)
     s = eng.lz_decode(s, cap=cap)
-    s = eng.lpx_decode(s)
+    s = eng.lpx_decode(s, lpx_spans)
     s = eng.filters_decode(s)
     s = eng.lz_decode(s, cap=cap)
     out = np.asarray(s, dtype=np.uint8)
@@ -148,7 +161,7 @@ def compress_stream(inp, out, opt: Options = None, engine=None):
         data = np.frombuffer(block, dtype=np.uint8)
         crc, payload = compress_block(data, opt, engine)
         framing.write_block(out, crc, payload, opt.blocksize,
-                            opt.anchor_units, opt.rans_lanes)
+                            opt.anchor_units, opt.rans_lanes, opt.lpx_spans)
         raw += len(block)
         comp += len(payload) + framing.HEADER_SIZE
     return raw, comp
@@ -162,7 +175,8 @@ def decompress_stream(inp, out, engine=None):
             break
         header, payload = rec
         data = decompress_block(payload, header.crc, engine,
-                                header.blocksize, header.units, header.lanes)
+                                header.blocksize, header.units, header.lanes,
+                                header.lpx_spans)
         out.write(data.tobytes())
         comp += header.csize + framing.HEADER_SIZE
         raw += data.size

@@ -99,7 +99,8 @@ def sharded_codec_step(mesh: Mesh):
     )
 
 
-def sharded_full_decode_step(mesh: Mesh, lanes: int, units: int, shapes):
+def sharded_full_decode_step(mesh: Mesh, lanes: int, units: int, shapes,
+                             lpx_spans: int = 4):
     """The real multi-chip decode: each device runs the ENTIRE per-block
     decode chain (wide rANS -> RLE0 -> rank -> inverse BWT -> LZ -> Lpx ->
     filters -> LZ) on its own framed block — the device mirror of the
@@ -114,7 +115,7 @@ def sharded_full_decode_step(mesh: Mesh, lanes: int, units: int, shapes):
     core = _partial(
         decode_block_core, lanes=lanes, units=units, rmax=shapes["rmax"],
         ocap=shapes["ocap"], out_cap=shapes["out_cap"],
-        max_tokens=shapes["max_tokens"])
+        max_tokens=shapes["max_tokens"], lpx_spans=lpx_spans)
 
     def per_shard(pay, starts, rlens, olens, crlens, freqs):
         out, n, ok = core(pay[0], starts[0], rlens[0], olens[0], crlens[0],
@@ -155,13 +156,15 @@ def decode_archive_sharded(inp, mesh: Mesh = None):
         return b""
     units = recs[0][0].units
     lanes = recs[0][0].lanes
+    lpx_spans = recs[0][0].lpx_spans
     blocksize = max(r[0].blocksize for r in recs)
-    if any(r[0].units != units or r[0].lanes != lanes for r in recs):
+    if any(r[0].units != units or r[0].lanes != lanes
+           or r[0].lpx_spans != lpx_spans for r in recs):
         raise ValueError("mixed stream parameters in one archive")
 
     metas = [block_meta(r[1], lanes) for r in recs]
     shapes = plan_shapes(metas, [len(r[1]) for r in recs], blocksize, lanes)
-    step = sharded_full_decode_step(mesh, lanes, units, shapes)
+    step = sharded_full_decode_step(mesh, lanes, units, shapes, lpx_spans)
     sharding1 = NamedSharding(mesh, P("data", None))
     sharding2 = NamedSharding(mesh, P("data", None, None))
 

@@ -116,8 +116,8 @@ def _code_block(inp, out, length: int, decode: bool):
             i += 1
 
 
-def _split_spans(n: int):
-    block = n // 4
+def _split_spans(n: int, spans: int = 4):
+    block = n // spans
     if block == 0:
         # degenerate tiny input: the reference would loop forever; treat the
         # whole input as one span (format-equivalent for n < 4)
@@ -131,10 +131,10 @@ def _split_spans(n: int):
     return spans
 
 
-def lpx_encode(data: np.ndarray) -> np.ndarray:
+def lpx_encode(data: np.ndarray, spans: int = 4) -> np.ndarray:
     inp = bytearray(np.asarray(data, dtype=np.uint8).tobytes())
     out = bytearray(len(inp))
-    for start, ln in _split_spans(len(inp)):
+    for start, ln in _split_spans(len(inp), spans):
         _code_block(
             memoryview(inp)[start : start + ln],
             memoryview(out)[start : start + ln],
@@ -144,10 +144,10 @@ def lpx_encode(data: np.ndarray) -> np.ndarray:
     return np.frombuffer(bytes(out), dtype=np.uint8)
 
 
-def lpx_decode(data: np.ndarray) -> np.ndarray:
+def lpx_decode(data: np.ndarray, spans: int = 4) -> np.ndarray:
     inp = bytearray(np.asarray(data, dtype=np.uint8).tobytes())
     out = bytearray(len(inp))
-    for start, ln in _split_spans(len(inp)):
+    for start, ln in _split_spans(len(inp), spans):
         _code_block(
             memoryview(inp)[start : start + ln],
             memoryview(out)[start : start + ln],

@@ -213,3 +213,16 @@ def test_sharded_archive_decode():
     compress_stream(Chunked(blocks), arc, opt, engine=Engine())
     got = decode_archive_sharded(io.BytesIO(arc.getvalue()), make_mesh(n_dev))
     assert got == plain
+
+
+def test_fused_device_decode_jt3_spans():
+    """JT3 lpx_spans stream parameter through the fused device chain."""
+    from jampack_tpu.runtime.device_decode import decode_block_device
+
+    data = _corpus(8000)
+    opt = Options(blocksize=1 << 20, filters=2, rans_lanes=4, ans_chunk=2048,
+                  anchor_units=16, lpx_spans=64)
+    crc, payload = compress_block(data, opt, Engine())
+    out = decode_block_device(payload, crc, opt.blocksize, opt.anchor_units,
+                              opt.rans_lanes, opt.lpx_spans)
+    assert np.array_equal(out, data)

@@ -216,3 +216,48 @@ def test_tpu_decode_rejects_corrupt_lane_table():
         )
         if not np.array_equal(got, data):
             raise ValueError("mismatch")
+
+
+@pytest.mark.parametrize("spans", [1, 16, 256])
+def test_lpx_spans_cross_engine(spans):
+    """JT3 container: the Lpx span count is a stream parameter; spec and
+    native archives are byte-identical and cross-decode."""
+    opt = Options(blocksize=1 << 20, filters=1, lpx_spans=spans)
+    a1 = io.BytesIO()
+    compress_stream(io.BytesIO(DATA), a1, opt, engine=Engine())
+    a2 = io.BytesIO()
+    compress_stream(io.BytesIO(DATA), a2, opt, engine=NativeEngine())
+    assert a1.getvalue() == a2.getvalue()
+    assert a1.getvalue()[:3] == b"JT3"
+    o = io.BytesIO()
+    decompress_stream(io.BytesIO(a1.getvalue()), o, engine=NativeEngine())
+    assert o.getvalue() == DATA
+
+
+def test_lpx_spans_default_stays_jam():
+    opt = Options(blocksize=1 << 20, filters=0, lpx_spans=4)
+    a = io.BytesIO()
+    compress_stream(io.BytesIO(DATA[:30000]), a, opt, engine=NativeEngine())
+    assert a.getvalue()[:3] == b"JAM"
+
+
+def test_lpx_spans_validated():
+    from jampack_tpu.runtime.pipeline import validate_lpx_spans
+
+    with pytest.raises(ValueError):
+        Options(lpx_spans=0)
+    with pytest.raises(ValueError):
+        validate_lpx_spans((1 << 16) + 1)
+    # framing rejects out-of-range span words
+    from jampack_tpu.format import framing
+    import struct
+
+    buf = io.BytesIO()
+    framing.write_block(buf, 0, b"xx", 1 << 20, units=120, lanes=0,
+                        lpx_spans=64)
+    raw = bytearray(buf.getvalue())
+    assert raw[:3] == b"JT3"
+    raw[framing.HEADER_SIZE + 8: framing.HEADER_SIZE + 12] = struct.pack(
+        "<i", -5)
+    with pytest.raises(ValueError):
+        framing.read_block(io.BytesIO(bytes(raw)))
