@@ -1,0 +1,444 @@
+"""Device filter-config search: all 96 configs scored on TPU (survey P8).
+
+The reference's -f2 brute force scores delta/LPC/inline x widths 1..32 with
+mixed (order-0 + order-1)/2 entropy per 64 KB chunk (filters.cpp:256-286);
+-f1 scores a stride/projection-guided candidate set with sorted entropy
+(filters.cpp:287-369).  Here the heavy work runs on device:
+
+  * all transforms batched: channel reorder = computed gather, delta =
+    shifted subtract, inline delta = stride doubling, LPC = ONE lockstep
+    recurrence over all (chunk, width) lanes;
+  * order-1 joint histograms via one-hot matmuls on the MXU — counts
+    accumulate exactly in f32 (sums <= 2^16 << 2^24), so the histograms
+    are exact integers and only the log-sum is approximate;
+  * f32 entropy scores reduced on device; the host re-scores ONLY the
+    configs within a small margin of the f32 winner using the float64
+    executable-spec scorer (stages/filters.py), so the final config choice
+    is byte-identical to the spec/native engines (which match the
+    reference's double-precision picks) while the 96-wide sweep stays on
+    the device.
+
+Encoder-side only: any config decodes identically everywhere.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..format.constants import FILTER_BLOCK_SIZE, FILTER_MAX_WIDTH
+
+_FBS = FILTER_BLOCK_SIZE
+_W = FILTER_MAX_WIDTH  # 32
+_TILE = 1024  # one-hot matmul tile length (bounds operand materialization)
+
+# score margin (bits/sym) below which the host re-scores exactly in f64;
+# f32 tree-summation error over 64K log terms is ~1e-5, so 1e-3 is ample
+SCORE_EPS = 1e-3
+
+
+def _reorder_idx(L, w):
+    """reordered[j] = buf[src[j]]: inverse of the encoder's channel
+    interleave — position j of the reordered stream reads channel-major
+    element j (filters.cpp:85-99)."""
+    j = jnp.arange(_FBS, dtype=jnp.int32)
+    per = L // w  # full rows per channel
+    extra = L % w  # channels with one extra element
+    # channel c owns count(c) = per + (c < extra); start(c) = c*per + min(c, extra)
+    # find channel of j: j < (c+1)*per + min(c+1, extra)
+    # solve: c = j // (per+1) for j < extra*(per+1), else (j - extra) // per
+    boundary = extra * (per + 1)
+    c = jnp.where(j < boundary, j // jnp.maximum(per + 1, 1),
+                  (j - extra) // jnp.maximum(per, 1))
+    r = jnp.where(j < boundary, j % jnp.maximum(per + 1, 1),
+                  (j - extra) % jnp.maximum(per, 1))
+    src = r * w + c
+    return jnp.where(j < L, jnp.clip(src, 0, _FBS - 1), 0)
+
+
+def _use_pallas() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _group_joint(streams, lens):
+    """Joint (prev, cur) pair counts for a group of lanes: the Pallas
+    VMEM-resident MXU kernel on TPU (pallas_hist.py, ~4x the XLA
+    formulation), the XLA one-hot fallback elsewhere."""
+    if _use_pallas():
+        from .pallas_hist import joint_hist_pallas
+
+        return joint_hist_pallas(streams, lens)
+    return _group_joint_xla(streams, lens)
+
+
+def _group_scores(streams, lens):
+    return _scores_from_joint(_group_joint(streams, lens), lens)
+
+
+def _group_joint_xla(streams, lens):
+    """XLA fallback: one-hot matmuls with HBM-materialized operands.
+
+    streams: (B, FBS) int32 symbols (pad masked via lens).  The joint
+    (prev, cur) counts accumulate in f32 (exact: counts <= 2^16 << 2^24);
+    bf16 one-hots are exact 0/1.  ctx starts at 0 like the spec's
+    mixed_entropy."""
+    B = streams.shape[0]
+    prev = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), streams[:, :-1]], axis=1)
+    sym_eye = jnp.eye(256, dtype=jnp.bfloat16)
+
+    def tile(t, joint):
+        t0 = t * _TILE
+        s = jax.lax.dynamic_slice(streams, (0, t0), (B, _TILE))
+        p = jax.lax.dynamic_slice(prev, (0, t0), (B, _TILE))
+        j = t0 + jnp.arange(_TILE, dtype=jnp.int32)
+        valid = (j[None, :] < lens[:, None])
+        oh_prev = sym_eye[p]                        # (B, T, 256) bf16
+        oh_cur = sym_eye[s] * valid[:, :, None].astype(jnp.bfloat16)
+        return joint + jax.lax.dot_general(
+            oh_prev, oh_cur,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+
+    return jax.lax.fori_loop(
+        0, _FBS // _TILE, tile, jnp.zeros((B, 256, 256), jnp.float32))
+
+
+def _scores_from_joint(joint, lens):
+    """(order0 + order1)/2 mixed entropy in f32 from exact joint counts,
+    replicating stages.filters.mixed_entropy's formulas."""
+    n = jnp.maximum(lens.astype(jnp.float32), 1.0)
+    col = jnp.sum(joint, axis=1)  # (B, 256) symbol counts = order-0 freqs
+    row = jnp.sum(joint, axis=2)  # (B, 256) context totals
+
+    def xlogx(v):
+        return jnp.where(v > 0, v * jnp.log2(jnp.maximum(v, 1e-30)), 0.0)
+
+    h0 = (xlogx(n) - jnp.sum(xlogx(col), axis=1)) / n
+    h1 = (jnp.sum(xlogx(row), axis=1)
+          - jnp.sum(xlogx(joint), axis=(1, 2))) / n
+    return (h0 + h1) / 2.0
+
+
+def _lpc_all(streams, lens):
+    """LPC recurrence over every lane in lockstep (filters.cpp:49-65)."""
+    B = streams.shape[0]
+
+    def body(i, carry):
+        out, weight, p1, p2 = carry
+        active = i < lens
+        cur = streams[:, i]
+        err = (weight + (((p1 - p2) + p1) - cur)) & 0xFF
+        nw = weight + ((err - weight) >> 6)
+        out = out.at[:, i].set(jnp.where(active, err, out[:, i]))
+        return (out, jnp.where(active, nw, weight),
+                jnp.where(active, cur, p1), jnp.where(active, p1, p2))
+
+    z = jnp.zeros(B, jnp.int32)
+    out0 = jnp.zeros((B, _FBS), jnp.int32)
+    steps = jnp.minimum(jnp.maximum(jnp.max(lens), 0), _FBS)
+    out, _, _, _ = jax.lax.fori_loop(0, steps, body, (out0, z, z, z))
+    return out
+
+
+def _inline_all(streams, lens, w):
+    """Inline per-channel delta via log-doubling (filters.cpp:101-120)."""
+    j = jnp.arange(_FBS, dtype=jnp.int32)[None, :]
+    align = (lens % w)[:, None]
+    can = j - w >= align
+    shifted = jnp.concatenate(
+        [jnp.zeros_like(streams[:, :w]), streams[:, :-w]], axis=1)
+    return jnp.where(can & (j < lens[:, None]),
+                     (streams - shifted) & 0xFF, streams)
+
+
+_GROUP = 512  # lanes per histogram group (bounds one-hot materialization)
+
+
+@partial(jax.jit, static_argnames=("F",))
+def score_all_configs_core(chunks: jnp.ndarray, lens: jnp.ndarray, F: int):
+    """chunks: (F, FBS) uint8 (padded), lens: (F,).
+    Returns scores (F, 3, 33) f32: [type, width] mixed entropies with
+    width 0 = raw at [0,0] (other width-0 slots unused = +inf).
+
+    Lane layout: lane 0..F-1 = raw, then per width w (1..32) three bands
+    of F lanes (delta, lpc, inline).  All LPC lanes share ONE lockstep
+    recurrence; histograms/scores run group-by-group so the one-hot
+    operands stay bounded."""
+    c32 = chunks.astype(jnp.int32)
+
+    # transforms for every width; lanes as uint8 to bound memory
+    bands = [chunks]
+    lpc_inputs = []
+    for w in range(1, _W + 1):
+        ri = jax.vmap(lambda L, w=w: _reorder_idx(L, w))(lens)  # (F, FBS)
+        # gather the u8 chunk rows (4x less traffic than gathering i32)
+        ro8 = jnp.take_along_axis(chunks, ri, axis=1)
+        ro = ro8.astype(jnp.int32)
+        shifted = jnp.concatenate(
+            [jnp.zeros((F, 1), jnp.int32), ro[:, :-1]], axis=1)
+        delta = ((ro - shifted) & 0xFF).astype(jnp.uint8)
+        inline = _inline_all(c32, lens, w).astype(jnp.uint8)
+        bands.append(delta)
+        bands.append(inline)
+        lpc_inputs.append(ro8)
+
+    # ONE LPC recurrence over all (width, chunk) lanes
+    lpc_in = jnp.concatenate(lpc_inputs, axis=0)  # (32*F, FBS) u8
+    lpc_lens = jnp.tile(lens, _W)
+    lpc_out = _lpc_all(lpc_in.astype(jnp.int32), lpc_lens).astype(jnp.uint8)
+
+    lanes = jnp.concatenate(bands + [lpc_out], axis=0)  # (97*F, FBS) u8
+    lane_lens = jnp.concatenate(
+        [lens, jnp.tile(lens, 2 * _W), lpc_lens], axis=0)
+    B = lanes.shape[0]
+    G = -(-B // _GROUP)
+    pad = G * _GROUP - B
+    lanes = jnp.pad(lanes, ((0, pad), (0, 0)))
+    lane_lens = jnp.pad(lane_lens, (0, pad))
+    lanes = lanes.reshape(G, _GROUP, _FBS)
+    lane_lens = lane_lens.reshape(G, _GROUP)
+
+    def group(g, acc):
+        s = _group_scores(lanes[g].astype(jnp.int32), lane_lens[g])
+        return jax.lax.dynamic_update_slice(acc, s[None, :], (g, 0))
+
+    all_scores = jax.lax.fori_loop(
+        0, G, group, jnp.zeros((G, _GROUP), jnp.float32)).reshape(-1)[:B]
+
+    # unpack the lane layout into (F, 3, 33)
+    scores = jnp.full((F, 3, _W + 1), jnp.inf, jnp.float32)
+    scores = scores.at[:, 0, 0].set(all_scores[:F])
+    for w in range(1, _W + 1):
+        base = F + (w - 1) * 2 * F
+        scores = scores.at[:, 0, w].set(all_scores[base: base + F])
+        scores = scores.at[:, 2, w].set(all_scores[base + F: base + 2 * F])
+        lbase = F + 2 * _W * F + (w - 1) * F
+        scores = scores.at[:, 1, w].set(all_scores[lbase: lbase + F])
+    return scores
+
+
+def score_all_configs(data: np.ndarray) -> np.ndarray:
+    """Host wrapper: split into 64 KB chunks, score all 96+raw configs on
+    device.  Returns (F, 3, 33) float32."""
+    data = np.asarray(data, dtype=np.uint8)
+    F = max((data.size + _FBS - 1) // _FBS, 1)
+    chunks = np.zeros((F, _FBS), np.uint8)
+    lens = np.zeros(F, np.int32)
+    for i in range(F):
+        part = data[i * _FBS: (i + 1) * _FBS]
+        chunks[i, : part.size] = part
+        lens[i] = part.size
+    out = score_all_configs_core(jnp.asarray(chunks), jnp.asarray(lens), F)
+    return np.asarray(jax.device_get(out))
+
+
+def pick_f2_configs(data: np.ndarray):
+    """Reference -f2 brute-force selection with device scoring: the 96-wide
+    sweep runs on TPU; candidates within SCORE_EPS of the f32 winner are
+    re-scored in float64 by the executable-spec scorer so the final picks
+    (and so the archive bytes) match the spec/native engines exactly.
+    Returns [(type, width)] per chunk."""
+    from ..stages.filters import _apply, mixed_entropy
+
+    data = np.asarray(data, dtype=np.uint8)
+    scores = score_all_configs(data)  # (F, 3, 33)
+    picks = []
+    for i in range(scores.shape[0]):
+        chunk = data[i * _FBS: (i + 1) * _FBS]
+        grid = scores[i]
+        mn = np.min(grid)
+        # exact re-score of near-winners (and always raw, the tie default)
+        cand = {(0, 0)}
+        for t in range(3):
+            for w in range(1, _W + 1):
+                if grid[t, w] <= mn + SCORE_EPS:
+                    cand.add((t, w))
+        exact = {}
+        for (t, w) in cand:
+            exact[(t, w)] = mixed_entropy(_apply(chunk, t, w) if w else chunk)
+        # replicate the reference scan: raw wins ties, type-major order,
+        # strict improvement (stages.filters.filters_encode:236-243)
+        best_t, best_w = 0, 0
+        best = exact[(0, 0)]
+        for t in range(3):
+            for w in range(1, _W + 1):
+                s = exact.get((t, w), grid[t, w])
+                if s < best:
+                    best = s
+                    best_t, best_w = t, w
+        picks.append((best_t, best_w))
+    return picks
+
+
+def filters_encode_f2_device(data: np.ndarray) -> np.ndarray:
+    """-f2 encode with the device config sweep; output byte-identical to
+    stages.filters.filters_encode(data, 2)."""
+    from ..stages.filters import _apply
+
+    data = np.asarray(data, dtype=np.uint8)
+    picks = pick_f2_configs(data)
+    out = bytearray()
+    for i, (t, w) in enumerate(picks):
+        chunk = data[i * _FBS: (i + 1) * _FBS]
+        out.append(t if w > 0 else 0)
+        out.append(w)
+        out += _apply(chunk, t, w).tobytes()
+    return np.frombuffer(bytes(out), dtype=np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# -f1 heuristic path (filters.cpp:287-369): stride/projection-guided
+# candidates scored by sorted entropy.
+
+
+def _prev_occurrence(keys: np.ndarray) -> np.ndarray:
+    """prev[i] = last j < i with keys[j] == keys[i], else 0 — the
+    vectorized form of the reference's dist[] tables (init 0)."""
+    n = keys.size
+    order = np.argsort(keys, kind="stable")
+    ks = keys[order]
+    prev = np.zeros(n, dtype=np.int64)
+    same = ks[1:] == ks[:-1]
+    prev[order[1:][same]] = order[:-1][same]
+    return prev
+
+
+def _pick_peak(hist: np.ndarray) -> int:
+    """The reference's peak pick (filters.cpp:167-178): hist[j] must beat
+    2x the average AND the running max seeded from hist[0]."""
+    average = int(hist.sum()) // (_W + 1)
+    smallest = 0
+    mn = hist[0]
+    for j in range(1, _W + 1):
+        if hist[j] > average * 2 and hist[j] > mn:
+            mn = hist[j]
+            smallest = j
+    return smallest
+
+
+def find_stride_fast(buf: np.ndarray) -> int:
+    """Vectorized find_stride (filters.cpp:147-178): the per-symbol
+    last-occurrence distance histogram via one stable sort."""
+    i = np.arange(buf.size, dtype=np.int64)
+    stride = i - _prev_occurrence(buf.astype(np.int64))
+    hist = np.bincount(stride % (_W + 1), minlength=_W + 1)
+    return _pick_peak(hist)
+
+
+def find_projection_fast(buf: np.ndarray) -> int:
+    """Vectorized find_projection (filters.cpp:183-218): second-order
+    stride detector — previous occurrence of (stride % 256)."""
+    i = np.arange(buf.size, dtype=np.int64)
+    stride = i - _prev_occurrence(buf.astype(np.int64))
+    projection = i - _prev_occurrence(stride % 256)
+    hist = np.bincount(projection % (_W + 1), minlength=_W + 1)
+    return _pick_peak(hist)
+
+
+@partial(jax.jit, static_argnames=("B",))
+def sorted_entropy_scores_core(streams: jnp.ndarray, lens: jnp.ndarray,
+                               B: int):
+    """Sorted entropy (utils.cpp:122-141 / stages.filters.sorted_entropy)
+    of each lane: order-1 entropy of the counting-sort-induced generalized
+    BWT.  One stable sort per lane carries prev as payload (no gather)."""
+    s32 = streams.astype(jnp.int32)
+    prev = jnp.roll(s32, 1, axis=1)  # prev[0] = buf[-1], like np.roll
+    j = jnp.arange(_FBS, dtype=jnp.int32)
+    # pad keys sort last and are masked out of the histogram anyway
+    keys = jnp.where(j[None, :] < lens[:, None], s32, 0x1FF)
+    _, sbuf = jax.lax.sort((keys, prev), num_keys=1, is_stable=True)
+
+    # pad symbols (0x1FF) would index outside the 256-symbol joint; they
+    # are masked by lens in the histogram, so clip them onto symbol 0
+    sbuf = jnp.clip(sbuf, 0, 255)
+    joint = _group_joint(sbuf, lens)
+    n = jnp.maximum(lens.astype(jnp.float32), 1.0)
+    row = jnp.sum(joint, axis=2)
+
+    def xlogx(v):
+        return jnp.where(v > 0, v * jnp.log2(jnp.maximum(v, 1e-30)), 0.0)
+
+    return (jnp.sum(xlogx(row), axis=1)
+            - jnp.sum(xlogx(joint), axis=(1, 2))) / n
+
+
+def filters_encode_f1_device(data: np.ndarray) -> np.ndarray:
+    """-f1 heuristic with device sorted-entropy scoring; byte-identical to
+    stages.filters.filters_encode(data, 1).  Candidate transforms build on
+    device-side batched ops; stride/projection detection is the sort-based
+    vectorized host form; near-tie picks re-score in float64."""
+    from ..stages.filters import _apply, sorted_entropy
+
+    data = np.asarray(data, dtype=np.uint8)
+    F = max((data.size + _FBS - 1) // _FBS, 1)
+    chunks = [data[i * _FBS: (i + 1) * _FBS] for i in range(F)]
+
+    # candidate set per chunk (prev-config resolved in the sequential pass)
+    cand_sets = []
+    for c in chunks:
+        cands = [(0, 0)]
+        ch = find_stride_fast(c)
+        if ch > 0:
+            cands += [(0, ch), (2, ch)]
+        chp = find_projection_fast(c)
+        if chp > 0:
+            cands += [(1, chp)]
+        cand_sets.append(cands)
+
+    # batch all candidate transforms into one device scoring call
+    lanes, lens, owners = [], [], []
+    for i, cands in enumerate(cand_sets):
+        for (t, w) in cands:
+            buf = _apply(chunks[i], t, w) if w else chunks[i]
+            row = np.zeros(_FBS, np.uint8)
+            row[: buf.size] = buf
+            lanes.append(row)
+            lens.append(buf.size)
+            owners.append((i, t, w))
+    B = len(lanes)
+    dev = sorted_entropy_scores_core(
+        jnp.asarray(np.stack(lanes)), jnp.asarray(np.asarray(lens, np.int32)),
+        B)
+    dev = np.asarray(jax.device_get(dev))
+    scored = {}
+    for k, (i, t, w) in enumerate(owners):
+        scored[(i, t, w)] = float(dev[k])
+
+    out = bytearray()
+    prev_t, prev_w = 0, 0
+    exact_cache = {}
+
+    def exact_score(i, t, w):
+        key = (i, t, w)
+        if key not in exact_cache:
+            exact_cache[key] = sorted_entropy(
+                _apply(chunks[i], t, w) if w else chunks[i])
+        return exact_cache[key]
+
+    for i, cands in enumerate(cand_sets):
+        grid = {}
+        for (t, w) in cands:
+            grid[(t, w)] = scored[(i, t, w)]
+        if (prev_t, prev_w) not in grid:
+            grid[(prev_t, prev_w)] = exact_score(i, prev_t, prev_w)
+        # near-tie exact re-score so the pick matches the f64 spec
+        mn = min(grid.values())
+        for key in list(grid):
+            if grid[key] <= mn + SCORE_EPS:
+                grid[key] = exact_score(i, *key)
+        best_t, best_w = 0, 0
+        best = grid.get((0, 0), 8.0)
+        for t in range(3):
+            for w in range(1, _W + 1):
+                s = grid.get((t, w), 8.0)
+                if s < best:
+                    best = s
+                    best_t, best_w = t, w
+        out.append(best_t if best_w > 0 else 0)
+        out.append(best_w)
+        out += _apply(chunks[i], best_t, best_w).tobytes()
+        prev_t, prev_w = best_t, best_w
+    return np.frombuffer(bytes(out), dtype=np.uint8)

@@ -114,10 +114,19 @@ class TpuEngine(Engine):
         return lpx_decode_tpu(data, spans)
 
     def filters_encode(self, data, mode: int):
-        if mode < 3:
-            # -f1/-f2 selection quality (and archive bytes) must match the
-            # spec/native engines — the ref heuristic's sorted-entropy
-            # scoring beats order-0 device scoring on ratio
+        if mode == 1:
+            # device sorted-entropy scoring of the stride/projection
+            # candidates (survey P8); archives byte-identical to native -f1
+            from ..kernels.filters_search import filters_encode_f1_device
+
+            return filters_encode_f1_device(data)
+        if mode == 2:
+            # all 96 configs swept on device (MXU one-hot histograms);
+            # near-tie picks re-scored in f64 => byte-identical to -f2
+            from ..kernels.filters_search import filters_encode_f2_device
+
+            return filters_encode_f2_device(data)
+        if mode < 1:
             return super().filters_encode(data, mode)
         # -f3: device-batched config search (survey P8), inline-delta
         # transforms on device; emits the same (type,width) chunk format

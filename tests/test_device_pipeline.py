@@ -226,3 +226,59 @@ def test_fused_device_decode_jt3_spans():
     out = decode_block_device(payload, crc, opt.blocksize, opt.anchor_units,
                               opt.rans_lanes, opt.lpx_spans)
     assert np.array_equal(out, data)
+
+
+def test_device_filter_search_f2_parity():
+    """Device 96-config -f2 sweep (MXU histograms + f64 near-tie rescore)
+    must pick byte-identical configs to the spec engine."""
+    from jampack_tpu.kernels.filters_search import filters_encode_f2_device
+    from jampack_tpu.stages.filters import filters_encode
+
+    rng = np.random.default_rng(55)
+    n = 140000
+    data = np.frombuffer(
+        b"".join(bytes([i % 256, (i * 3) % 256, 7, (i // 5) % 256])
+                 for i in range(n // 4 + 1)), dtype=np.uint8)[:n].copy()
+    data[rng.integers(0, n, 1500)] = rng.integers(0, 256, 1500)
+    assert np.array_equal(filters_encode_f2_device(data),
+                          filters_encode(data, 2))
+
+
+def test_device_filter_search_f1_parity():
+    from jampack_tpu.kernels.filters_search import filters_encode_f1_device
+    from jampack_tpu.stages.filters import filters_encode
+
+    audio = (np.sin(np.arange(120000) / 25) * 90 + 128).astype(np.uint8)
+    assert np.array_equal(filters_encode_f1_device(audio),
+                          filters_encode(audio, 1))
+
+
+def test_stride_projection_fast_match_spec():
+    from jampack_tpu.kernels.filters_search import (find_projection_fast,
+                                                    find_stride_fast)
+    from jampack_tpu.stages.filters import find_projection, find_stride
+
+    rng = np.random.default_rng(66)
+    for trial in range(4):
+        n = int(rng.integers(500, 60000))
+        if trial % 2:
+            data = np.frombuffer(
+                b"".join(bytes([i % 256, 9, (i // 3) % 256])
+                         for i in range(n // 3 + 1)), dtype=np.uint8)[:n]
+        else:
+            data = rng.integers(0, 256, n, dtype=np.uint8)
+        assert find_stride_fast(data) == find_stride(data)
+        assert find_projection_fast(data) == find_projection(data)
+
+
+def test_tpu_engine_f1_f2_cross_engine_archives():
+    """TpuEngine -f1/-f2 now run the device search; archives must equal the
+    spec engine's for the same Options."""
+    from jampack_tpu.runtime.engines import TpuEngine
+
+    data = _corpus(9000)
+    for filters in (1, 2):
+        opt = Options(blocksize=1 << 20, filters=filters)
+        crc_t, pay_t = compress_block(data, opt, TpuEngine())
+        crc_s, pay_s = compress_block(data, opt, Engine())
+        assert crc_t == crc_s and pay_t == pay_s
