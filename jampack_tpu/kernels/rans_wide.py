@@ -10,6 +10,18 @@ this step") so its cost is paid only on the steps that need it — early in
 a chunk while the update period is still doubling (model.cpp:160-204),
 then once per 64K quasi symbols per lane.
 
+Performance structure (measured on v5e):
+  * model banks are per-model-width — the 6 quasi alphabets are
+    [4,8,16,32,64,129], so carrying them at a shared 129-wide layout
+    tripled every step's VPU work;
+  * NO per-step gathers or scatters: model-row reads are masked
+    reductions over monotone CDF rows (lo = max cum <= rng, hi = min
+    cum > rng), model writes are k-way masked static-slice updates —
+    random gather/scatter at tens of thousands of lanes costs ~100 ms
+    per op on this platform;
+  * the rescale's log search is a fori_loop (unrolled it dominated
+    compile time).
+
 Bit-exact with rans_common / stages.models: int32 mixing shifts, the
 unsigned rescale stretch, truncating division, byte-renorm order.
 Lanes of unequal length freeze (no byte consumption, no model updates)
@@ -35,9 +47,7 @@ from .rans_common import (
     MANT_ADAPT_INIT,
     MANT_ADAPT_MIX,
     NQ,
-    QALPHA,
     QALPHAS,
-    QMASK,
     QUASI_INIT_CUM,
     RATE,
     UPDATE_RATE,
@@ -46,11 +56,14 @@ from .rans_common import (
 _NSW = MODEL_SWITCH_THRESHOLD  # 2 adaptive mantissa models
 
 
-def _find(cum_rows, rng):
-    """searchsorted(side='right') - 1 on monotone rows: count(cum <= rng)."""
-    return (
-        jnp.sum(cum_rows <= rng[:, None], axis=1).astype(jnp.int32) - 1
-    )
+def _find_lo_hi(rows, rng):
+    """(m, lo, hi) on a monotone cum row batch without gathers:
+    m = count(cum <= rng) - 1, lo = max cum <= rng, hi = min cum > rng."""
+    le = rows <= rng[:, None]
+    m = jnp.sum(le, axis=1).astype(jnp.int32) - 1
+    lo = jnp.max(jnp.where(le, rows, jnp.int32(-1)), axis=1)
+    hi = jnp.min(jnp.where(le, jnp.int32(1 << 30), rows), axis=1)
+    return m, lo, hi
 
 
 @partial(jax.jit, static_argnames=("max_rlen",))
@@ -64,7 +77,6 @@ def decode_lanes_wide(buf: jnp.ndarray, starts: jnp.ndarray,
     L = starts.shape[0]
     buf = buf.astype(jnp.uint32)
     mask16 = jnp.uint32(PROB_SCALE - 1)
-    l_idx = jnp.arange(L, dtype=jnp.int32)
 
     def read32(p):
         return buf[p] | (buf[p + 1] << 8) | (buf[p + 2] << 16) | (buf[p + 3] << 24)
@@ -73,19 +85,23 @@ def decode_lanes_wide(buf: jnp.ndarray, starts: jnp.ndarray,
     R = R.astype(jnp.uint32)
     ptr = starts + 16
 
+    alphas = [int(a) for a in QALPHAS]  # (6,) static per-model widths
     exp_cum = jnp.broadcast_to(jnp.asarray(EXP_INIT), (L, 9)).astype(jnp.int32)
     ma_cum = jnp.broadcast_to(jnp.asarray(MANT_ADAPT_INIT), (L, _NSW, 3)).astype(jnp.int32)
-    q_cum = jnp.broadcast_to(jnp.asarray(QUASI_INIT_CUM), (L, NQ, QALPHA + 1)).astype(jnp.int32)
-    q_freqs = jnp.zeros((L, NQ, QALPHA), dtype=jnp.int32)
+    qc = tuple(
+        jnp.broadcast_to(jnp.asarray(QUASI_INIT_CUM[k, : alphas[k] + 1]),
+                         (L, alphas[k] + 1)).astype(jnp.int32)
+        for k in range(NQ)
+    )
+    qf = tuple(jnp.zeros((L, alphas[k]), jnp.int32) for k in range(NQ))
     q_seen = jnp.zeros((L, NQ), dtype=jnp.int32)
     q_exp = jnp.full((L, NQ), 8, dtype=jnp.int32)
 
     exp_mix = jnp.asarray(EXP_MIX)              # (8, 9)
     ma_mix = jnp.asarray(MANT_ADAPT_MIX)        # (2, 2, 3)
-    q_alphas = jnp.asarray(QALPHAS)             # (6,)
-    q_mask = jnp.asarray(QMASK)                 # (6, 129)
     exponent = jnp.asarray(EXPONENT.astype(np.int32))
     syms = jnp.zeros((L, max_rlen), dtype=jnp.uint16)
+    nq_col = jnp.arange(NQ)[None, :]
 
     def renorm(x, ptr, active):
         for _ in range(3):
@@ -102,15 +118,13 @@ def decode_lanes_wide(buf: jnp.ndarray, starts: jnp.ndarray,
         )
 
     def body(i, carry):
-        (R, ptr, exp_cum, ma_cum, q_cum, q_freqs, q_seen, q_exp, syms) = carry
+        (R, ptr, exp_cum, ma_cum, qc, qf, q_seen, q_exp, syms) = carry
         active = i < rlens
 
         # ---- exponent symbol (adaptive, alpha = 8)
         x = R[:, 0]
         rng = (x & mask16).astype(jnp.int32)
-        e = _find(exp_cum, rng)
-        lo = jnp.take_along_axis(exp_cum, e[:, None], axis=1)[:, 0]
-        hi = jnp.take_along_axis(exp_cum, e[:, None] + 1, axis=1)[:, 0]
+        e, lo, hi = _find_lo_hi(exp_cum, rng)
         x2 = advance(x, lo, hi - lo)
         x2, ptr = renorm(x2, ptr, active)
         # adaptive CDF mixing (interior entries only), frozen when inactive
@@ -129,23 +143,23 @@ def decode_lanes_wide(buf: jnp.ndarray, starts: jnp.ndarray,
         ei = jnp.clip(e, 0, _NSW - 1)
         qi = jnp.clip(e - _NSW, 0, NQ - 1)
 
-        # model-row selection by k-way select, NOT take_along_axis: a
-        # random gather over the (L, NQ, 130) bank costs ~100 ms/step at
-        # tens of thousands of lanes on this platform (CLAUDE.md facts);
-        # NQ/NSW are tiny static counts so masked selects are ~free VPU ops
         ma_rows = jnp.where(
             (ei == 0)[:, None], ma_cum[:, 0], ma_cum[:, 1]
         )  # (L, 3)
-        q_rows = q_cum[:, 0]
+        m_a, lo_a, hi_a = _find_lo_hi(ma_rows, rng)
+        m_ks, lo_ks, hi_ks = [], [], []
+        for k in range(NQ):
+            mk, lok, hik = _find_lo_hi(qc[k], rng)
+            m_ks.append(mk)
+            lo_ks.append(lok)
+            hi_ks.append(hik)
+        m_q, lo_q, hi_q = m_ks[0], lo_ks[0], hi_ks[0]
         for k in range(1, NQ):
-            q_rows = jnp.where((qi == k)[:, None], q_cum[:, k], q_rows)
-        m_a = _find(ma_rows, rng)
-        m_q = _find(q_rows, rng)
+            sel = qi == k
+            m_q = jnp.where(sel, m_ks[k], m_q)
+            lo_q = jnp.where(sel, lo_ks[k], lo_q)
+            hi_q = jnp.where(sel, hi_ks[k], hi_q)
         m = jnp.where(is_adaptive, m_a, m_q)
-        lo_a = jnp.take_along_axis(ma_rows, m_a[:, None], axis=1)[:, 0]
-        hi_a = jnp.take_along_axis(ma_rows, m_a[:, None] + 1, axis=1)[:, 0]
-        lo_q = jnp.take_along_axis(q_rows, m_q[:, None], axis=1)[:, 0]
-        hi_q = jnp.take_along_axis(q_rows, m_q[:, None] + 1, axis=1)[:, 0]
         lo = jnp.where(is_adaptive, lo_a, lo_q)
         fq = jnp.where(is_adaptive, hi_a - lo_a, hi_q - lo_q)
         x2 = advance(x, lo, fq)
@@ -161,20 +175,20 @@ def decode_lanes_wide(buf: jnp.ndarray, starts: jnp.ndarray,
         interior3 = (jnp.arange(3) == 1)
         new_rows = jnp.where(interior3[None, :], new_rows, ma_rows)
         new_rows = jnp.where(a_upd[:, None], new_rows, ma_rows)
-        # static-slice writes per model (2-way) instead of a scatter
         ma_cum = jnp.stack(
             [jnp.where((a_upd & (ei == k))[:, None], new_rows, ma_cum[:, k])
              for k in range(_NSW)], axis=1)
 
         # ---- quasi mantissa count/seen updates (masked adds per model)
         q_upd = active & jnp.logical_not(is_adaptive)
-        hit_col = jnp.arange(QALPHA)[None, :] == m_q[:, None]  # (L, 129)
-        q_freqs = jnp.stack(
-            [q_freqs[:, k]
-             + jnp.where((q_upd & (qi == k))[:, None] & hit_col,
-                         jnp.int32(PROB_BITS), 0)
-             for k in range(NQ)], axis=1)
-        nq_col = jnp.arange(NQ)[None, :]
+        qf = tuple(
+            qf[k]
+            + jnp.where(
+                (q_upd & (qi == k))[:, None]
+                & (jnp.arange(alphas[k])[None, :] == m_ks[k][:, None]),
+                jnp.int32(PROB_BITS), 0)
+            for k in range(NQ)
+        )
         q_hit = (nq_col == qi[:, None]) & q_upd[:, None]  # (L, NQ)
         q_seen = q_seen + q_hit.astype(jnp.int32)
         seen_row = jnp.sum(jnp.where(q_hit, q_seen, 0), axis=1)
@@ -184,61 +198,49 @@ def decode_lanes_wide(buf: jnp.ndarray, starts: jnp.ndarray,
         pred = q_upd & (seen_row > exp_row)
 
         def rescale(args):
-            q_freqs, q_cum, q_seen, q_exp = args
-            qf = q_freqs[:, 0]                          # (L, 129) via select
-            for k in range(1, NQ):
-                qf = jnp.where((qi == k)[:, None], q_freqs[:, k], qf)
-            alpha = q_alphas[qi]                        # (L,)
-            lanes = q_mask[qi]                          # (L, 129)
-            total = jnp.sum(qf * lanes, axis=1)
-            # smallest log with (total>>log)+alpha <= 2^16; fori keeps the
-            # traced body small (this unrolled 21x dominated compile time)
-            logv = jax.lax.fori_loop(
-                0, 21,
-                lambda _, lv: lv
-                + (((total >> lv) + alpha) > PROB_SCALE).astype(jnp.int32),
-                jnp.zeros_like(total),
-            )
-            f = jnp.where(lanes, (qf >> logv[:, None]) + 1, 0)
-            t2 = jnp.sum(f, axis=1)
-            # model.cpp:183 is UNSIGNED arithmetic; product < 2^32: exact
-            prod = f.astype(jnp.uint32) << PROB_BITS
-            q = (prod // t2[:, None].astype(jnp.uint32)).astype(jnp.int32)
-            fix = PROB_SCALE - jnp.sum(q * lanes, axis=1)
-            q = q.at[:, 0].add(fix)
-            q = jnp.where(lanes, q, 0)
-            cum = jnp.concatenate(
-                [jnp.zeros((L, 1), jnp.int32), jnp.cumsum(q, axis=1)], axis=1
-            )
-            cum = jnp.where(
-                jnp.arange(QALPHA + 1)[None, :] <= alpha[:, None],
-                cum,
-                jnp.int32(1 << 30),
-            )
-            # masked static-slice writes per model (no scatters)
-            rowm = [(pred & (qi == k))[:, None] for k in range(NQ)]
-            q_cum = jnp.stack(
-                [jnp.where(rowm[k], cum, q_cum[:, k]) for k in range(NQ)],
-                axis=1)
-            q_freqs = jnp.stack(
-                [jnp.where(rowm[k], 0, q_freqs[:, k]) for k in range(NQ)],
-                axis=1)
+            qc, qf, q_seen, q_exp = args
+            new_qc, new_qf = [], []
+            for k in range(NQ):
+                alpha = alphas[k]
+                qfk = qf[k]                                 # (L, alpha)
+                total = jnp.sum(qfk, axis=1)
+                # smallest log with (total>>log)+alpha <= 2^16; fori keeps
+                # the traced body small
+                logv = jax.lax.fori_loop(
+                    0, 21,
+                    lambda _, lv: lv
+                    + (((total >> lv) + alpha) > PROB_SCALE).astype(jnp.int32),
+                    jnp.zeros_like(total),
+                )
+                f = (qfk >> logv[:, None]) + 1
+                t2 = jnp.sum(f, axis=1)
+                # model.cpp:183 is UNSIGNED; product < 2^32: exact
+                prod = f.astype(jnp.uint32) << PROB_BITS
+                q = (prod // t2[:, None].astype(jnp.uint32)).astype(jnp.int32)
+                fix = PROB_SCALE - jnp.sum(q, axis=1)
+                q = q.at[:, 0].add(fix)
+                cum = jnp.concatenate(
+                    [jnp.zeros((L, 1), jnp.int32), jnp.cumsum(q, axis=1)],
+                    axis=1)
+                rowm = (pred & (qi == k))[:, None]
+                new_qc.append(jnp.where(rowm, cum, qc[k]))
+                new_qf.append(jnp.where(rowm, 0, qfk))
             resc_hit = (nq_col == qi[:, None]) & pred[:, None]  # (L, NQ)
             q_seen = jnp.where(resc_hit, 0, q_seen)
             new_exp = jnp.where(q_exp < UPDATE_RATE, q_exp << 1, UPDATE_RATE)
             q_exp = jnp.where(resc_hit, new_exp, q_exp)
-            return q_freqs, q_cum, q_seen, q_exp
+            return tuple(new_qc), tuple(new_qf), q_seen, q_exp
 
-        q_freqs, q_cum, q_seen, q_exp = jax.lax.cond(
+        qc, qf, q_seen, q_exp = jax.lax.cond(
             jnp.any(pred), rescale, lambda a: a,
-            (q_freqs, q_cum, q_seen, q_exp),
+            (qc, qf, q_seen, q_exp),
         )
 
         sym = (exponent[e] + m).astype(jnp.uint16)
         syms = syms.at[:, i].set(jnp.where(active, sym, syms[:, i]))
-        return (R, ptr, exp_cum, ma_cum, q_cum, q_freqs, q_seen, q_exp, syms)
+        return (R, ptr, exp_cum, ma_cum, qc, qf, q_seen, q_exp, syms)
 
-    init = (R, ptr, exp_cum, ma_cum, q_cum, q_freqs, q_seen, q_exp, syms)
+    init = (R, ptr, exp_cum, ma_cum, qc, qf, q_seen, q_exp, syms)
     # traced bound: max_rlen is only the (bucketed) output width, so shape
     # padding costs zero loop steps and compile variants stay bounded
     steps = jnp.minimum(jnp.maximum(jnp.max(rlens), 0), max_rlen)
