@@ -197,12 +197,21 @@ def run(argv):
 
             with ThreadPoolExecutor(max_workers=workers) as pool:
                 window = deque()
+                # feof semantics (jampack.cpp:205-214): an input of exactly
+                # K*blocksize bytes (incl. K=0) gets one trailing EMPTY
+                # block — archive bytes are the contract
+                pending_empty = True
+                eof = False
                 while True:
-                    while len(window) < workers * 2:
+                    while not eof and len(window) < workers * 2:
                         blob = fin.read(opt.blocksize)
                         if not blob:
+                            eof = True
+                            if pending_empty:
+                                window.append(pool.submit(encode_one, b""))
                             break
                         raw += len(blob)
+                        pending_empty = len(blob) == opt.blocksize
                         window.append(pool.submit(encode_one, blob))
                     if not window:
                         break

@@ -10,6 +10,7 @@
 #include <cstring>
 #include <cstdlib>
 #include <vector>
+#include <type_traits>
 
 namespace jpt {
 

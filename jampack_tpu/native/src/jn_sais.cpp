@@ -15,12 +15,22 @@ void sais_core(const Char* T, i32* SA, i32 n, i32 K) {
   if (n == 0) return;
   if (n == 1) { SA[0] = 0; return; }
 
-  std::vector<u8> is_s(n);
-  is_s[n - 1] = 0;  // last suffix is L-type vs the sentinel
-  for (i32 i = n - 2; i >= 0; i--)
-    is_s[i] = (T[i] < T[i + 1]) || (T[i] == T[i + 1] && is_s[i + 1]);
-
-  auto is_lms = [&](i32 i) { return i > 0 && is_s[i] && !is_s[i - 1]; };
+  // ts[i] = (T[i] << 1) | is_s[i]: ONE random load per induced element
+  // where the textbook form pays two (type byte + text byte) — the induce
+  // passes are cache-miss bound on exactly these loads.  u16 at the byte
+  // level; recursion symbols can exceed 2^15 so those levels pack in u32.
+  using TS = typename std::conditional<sizeof(Char) == 1, u16, u32>::type;
+  std::vector<TS> ts(n);
+  {
+    u8 s = 0;  // last suffix is L-type vs the sentinel
+    ts[n - 1] = TS(u32(T[n - 1]) << 1);
+    for (i32 i = n - 2; i >= 0; i--) {
+      s = (T[i] < T[i + 1]) || (T[i] == T[i + 1] && s);
+      ts[i] = TS((u32(T[i]) << 1) | s);
+    }
+  }
+  auto is_s_at = [&](i32 i) { return ts[i] & 1u; };
+  auto is_lms = [&](i32 i) { return i > 0 && (ts[i] & 1u) && !(ts[i - 1] & 1u); };
 
   std::vector<i32> bkt(K), head(K), tail(K);
   for (i32 i = 0; i < n; i++) bkt[T[i]]++;
@@ -36,17 +46,25 @@ void sais_core(const Char* T, i32* SA, i32 n, i32 K) {
   auto induce = [&] {
     // L-pass: seed with the predecessor of the sentinel suffix
     reset_heads();
-    i32 j = n - 1;
-    if (!is_s[j]) SA[head[T[j]]++] = j;
+    {
+      u32 w = ts[n - 1];
+      if (!(w & 1u)) SA[head[w >> 1]++] = n - 1;
+    }
     for (i32 i = 0; i < n; i++) {
-      j = SA[i] - 1;
-      if (SA[i] > 0 && !is_s[j]) SA[head[T[j]]++] = j;
+      i32 j = SA[i] - 1;
+      if (SA[i] > 0) {
+        u32 w = ts[j];
+        if (!(w & 1u)) SA[head[w >> 1]++] = j;
+      }
     }
     // S-pass
     reset_tails();
     for (i32 i = n - 1; i >= 0; i--) {
-      j = SA[i] - 1;
-      if (SA[i] > 0 && is_s[j]) SA[--tail[T[j]]] = j;
+      i32 j = SA[i] - 1;
+      if (SA[i] > 0) {
+        u32 w = ts[j];
+        if (w & 1u) SA[--tail[w >> 1]] = j;
+      }
     }
   };
 
@@ -58,13 +76,15 @@ void sais_core(const Char* T, i32* SA, i32 n, i32 K) {
     if (is_lms(i)) { SA[--tail[T[i]]] = i; n_lms++; }
   induce();
 
-  // 2) compact sorted LMS suffixes, name LMS substrings
+  // 2) compact sorted LMS suffixes, name LMS substrings.  Adjacent LMS
+  // positions are >= 2 apart, so names index by i >> 1 (half the array
+  // and half the cache traffic of an n-sized table).
   std::vector<i32> lms_sorted;
   lms_sorted.reserve(n_lms);
   for (i32 i = 0; i < n; i++)
     if (SA[i] > 0 && is_lms(SA[i])) lms_sorted.push_back(SA[i]);
 
-  std::vector<i32> name_of(n, -1);
+  std::vector<i32> name_of((n >> 1) + 1, -1);
   i32 names = 0;
   i32 prev = -1;
   for (i32 idx = 0; idx < n_lms; idx++) {
@@ -81,24 +101,34 @@ void sais_core(const Char* T, i32* SA, i32 n, i32 K) {
       }
     }
     if (!same) names++;
-    name_of[cur] = names - 1;
+    name_of[cur >> 1] = names - 1;
     prev = cur;
   }
 
-  // 3) build the reduced string in text order; recurse if names repeat
-  std::vector<i32> lms_pos, reduced;
+  // 3) build the reduced string in text order; recurse if names repeat.
+  // u16 names halve the recursion's memory traffic when they fit.
+  std::vector<i32> lms_pos;
   lms_pos.reserve(n_lms);
-  reduced.reserve(n_lms);
   for (i32 i = 1; i < n; i++)
-    if (is_lms(i)) { lms_pos.push_back(i); reduced.push_back(name_of[i]); }
+    if (is_lms(i)) lms_pos.push_back(i);
 
   std::vector<i32> lms_order(n_lms);
   if (names < n_lms) {
     std::vector<i32> sub_sa(n_lms);
-    sais_core<i32>(reduced.data(), sub_sa.data(), n_lms, names);
+    if (names <= 0xFFFF) {
+      std::vector<u16> reduced(n_lms);
+      for (i32 i = 0; i < n_lms; i++)
+        reduced[i] = u16(name_of[lms_pos[i] >> 1]);
+      sais_core<u16>(reduced.data(), sub_sa.data(), n_lms, names);
+    } else {
+      std::vector<i32> reduced(n_lms);
+      for (i32 i = 0; i < n_lms; i++) reduced[i] = name_of[lms_pos[i] >> 1];
+      sais_core<i32>(reduced.data(), sub_sa.data(), n_lms, names);
+    }
     for (i32 i = 0; i < n_lms; i++) lms_order[i] = lms_pos[sub_sa[i]];
   } else {
-    for (i32 i = 0; i < n_lms; i++) lms_order[name_of[lms_pos[i]]] = lms_pos[i];
+    for (i32 i = 0; i < n_lms; i++)
+      lms_order[name_of[lms_pos[i] >> 1]] = lms_pos[i];
   }
 
   // 4) final induce from correctly ordered LMS suffixes

@@ -151,19 +151,28 @@ def decompress_block(payload, crc: int, engine=None,
 
 
 def compress_stream(inp, out, opt: Options = None, engine=None):
-    """File-object to file-object archive compression."""
+    """File-object to file-object archive compression.
+
+    Replicates the reference's feof-driven read loop exactly
+    (jampack.cpp:205-214): eof is only observed on a read PAST the data,
+    so an input of K*blocksize bytes (including K = 0) compresses one
+    extra EMPTY block — archive bytes are the contract."""
     opt = opt or Options()
     raw = comp = 0
+    pending_empty = True  # empty input -> one empty block, like the ref
     while True:
         block = inp.read(opt.blocksize)
-        if len(block) == 0:
-            break
         data = np.frombuffer(block, dtype=np.uint8)
+        if len(block) == 0 and not pending_empty:
+            break
         crc, payload = compress_block(data, opt, engine)
         framing.write_block(out, crc, payload, opt.blocksize,
                             opt.anchor_units, opt.rans_lanes, opt.lpx_spans)
         raw += len(block)
         comp += len(payload) + framing.HEADER_SIZE
+        if len(block) == 0:
+            break
+        pending_empty = len(block) == opt.blocksize
     return raw, comp
 
 

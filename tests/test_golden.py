@@ -198,3 +198,58 @@ def test_lpx_order_transition_matches_reference_bytes(oracle, tmp_path):
     with open(src, "rb") as f:
         compress_stream(f, arc, Options(filters=1), engine=NativeEngine())
     assert arc.getvalue() == ref_jam.read_bytes()
+
+
+def test_exact_multiple_trailing_empty_block(oracle, tmp_path):
+    """feof semantics (jampack.cpp:205-214): an input of exactly K*blocksize
+    bytes gets one trailing EMPTY block.  For K=0 our bytes match the
+    reference exactly; for K>0 the reference's empty block encodes 480
+    bytes of UNINITIALIZED buffer residue (bwt.cpp:37 never writes
+    Indicies when nlen==0 — stale prior-block memory enters the stream),
+    so parity there is structural: same block count, both archives decode
+    in both directions (soft-parity class, like the filter-choice UB)."""
+    import io
+    import subprocess
+
+    import numpy as np
+
+    from jampack_tpu.format import framing
+    from jampack_tpu.runtime.engines import NativeEngine
+    from jampack_tpu.runtime.pipeline import (Options, compress_stream,
+                                              decompress_stream)
+
+    ne = NativeEngine()
+    rng = np.random.default_rng(3)
+    for k in (0, 1, 2):
+        data = rng.integers(0, 40, k << 20).astype(np.uint8).tobytes()
+        src = tmp_path / f"in{k}.bin"
+        src.write_bytes(data)
+        arc = io.BytesIO()
+        compress_stream(io.BytesIO(data), arc,
+                        Options(blocksize=1 << 20), engine=ne)
+        # trailing empty block present (k+1 blocks total)
+        nblocks = 0
+        bio = io.BytesIO(arc.getvalue())
+        while framing.read_block(bio) is not None:
+            nblocks += 1
+        assert nblocks == k + 1
+        # reference produces the same block count
+        ref_arc = tmp_path / f"ref{k}.jam"
+        oracle.compress(src, ref_arc, "-b1")
+        rio = open(ref_arc, "rb")
+        rblocks = 0
+        while framing.read_block(rio) is not None:
+            rblocks += 1
+        assert rblocks == k + 1
+        if k == 0:
+            # fresh instance: zero-initialized anchors -> exact byte parity
+            assert arc.getvalue() == ref_arc.read_bytes()
+        # cross-decode both directions
+        ours = tmp_path / f"ours{k}.jam"
+        ours.write_bytes(arc.getvalue())
+        dec = tmp_path / f"dec{k}.bin"
+        oracle.decompress(ours, dec)
+        assert dec.read_bytes() == data
+        out = io.BytesIO()
+        decompress_stream(open(ref_arc, "rb"), out, engine=ne)
+        assert out.getvalue() == data
