@@ -45,39 +45,41 @@ _FBS = FILTER_BLOCK_SIZE
 
 def rle0_decode_core(syms: jnp.ndarray, rlen, olen, out_cap: int):
     """syms: (S,) uint16 padded; rlen/olen traced actuals.
-    Returns (out (out_cap,) uint8, ok bool)."""
+    Returns (out (out_cap,) uint8, ok bool).
+
+    Fully scan-based: run boundaries, per-run binary values and output
+    positions all come from cumsum/cummax passes — no segment scatters
+    (three 16M-element scatter passes cost ~1 s per 8 MB block on this
+    platform; scans are bandwidth-cheap)."""
     S = syms.shape[0]
     idx = jnp.arange(S, dtype=jnp.int32)
     valid = idx < rlen
     v = syms.astype(jnp.int32)
     is_bit = valid & (v <= 1)
     prev_bit = jnp.concatenate([jnp.zeros(1, bool), is_bit[:-1]])
+    next_bit = jnp.concatenate([is_bit[1:], jnp.zeros(1, bool)])
     run_start = is_bit & ~prev_bit
-    # segment id for bit positions (0-based over runs)
-    seg = jnp.cumsum(run_start.astype(jnp.int32)) - 1
-    seg_safe = jnp.where(is_bit, seg, S - 1)  # park non-bits in a scratch row
-    # per-run start index and length
-    seg_start = jnp.zeros(S, jnp.int32).at[seg_safe].max(
-        jnp.where(is_bit & run_start, idx, 0), mode="drop"
-    )
-    run_len = jnp.zeros(S, jnp.int32).at[seg_safe].add(
-        jnp.where(is_bit, 1, 0), mode="drop"
-    )
-    # value = (1 << run_len) | bits; emitted zeros = value - 1
-    # bit j of run contributes bit << (run_len - 1 - (j - start))
-    shift = jnp.clip(
-        run_len[seg_safe] - 1 - (idx - seg_start[seg_safe]), 0, 31
-    )
+    run_end = is_bit & ~next_bit
+    # end index of each position's run: NEAREST end marker at or after p
+    # (reverse cummin over marked indices)
+    endi = jnp.flip(jax.lax.cummin(
+        jnp.flip(jnp.where(run_end, idx, jnp.int32(S)))))
+    # value = (1 << run_len) | bits: bit at j contributes bit << (end - j)
+    shift = jnp.clip(endi - idx, 0, 31)
     contrib = jnp.where(is_bit, v << shift, 0)
-    run_bits = jnp.zeros(S, jnp.int32).at[seg_safe].add(contrib, mode="drop")
-    overflow = jnp.any(run_len > 30)
+    prefix = jnp.cumsum(contrib)  # inclusive
+    # run bit-sum at the start = prefix[end] - prefix[start - 1]
+    pend = prefix[jnp.clip(endi, 0, S - 1)]
+    run_len = endi - idx + 1  # valid at run starts
+    run_bits = pend - (prefix - contrib)
+    overflow = jnp.any(run_start & (run_len > 30))
     run_val = (jnp.int32(1) << jnp.clip(run_len, 0, 30)) | run_bits
     zeros_out = jnp.maximum(run_val - 1, 0)
 
     # per-input-symbol output contribution: 1 for nonzero syms, run zeros
     # attributed to the run's first bit
     out_len_here = jnp.where(
-        valid & (v > 1), 1, jnp.where(run_start, zeros_out[seg_safe], 0)
+        valid & (v > 1), 1, jnp.where(run_start, zeros_out, 0)
     )
     pos = jnp.cumsum(out_len_here) - out_len_here  # exclusive scan
     total = jnp.sum(out_len_here)

@@ -78,6 +78,14 @@ def one(seed: int, allow_m2: bool) -> str:
     mf = int(rng.integers(0, 3 if allow_m2 else 2))
     fl = int(rng.integers(0, 3))
     bs_mb = int(rng.choice([1, 8]))
+    # ~1 in 8 cases: round the input to an exact blocksize multiple so the
+    # trailing-empty-block feof path gets exercised (soft parity: the
+    # reference encodes uninitialized buffer residue there, bwt.cpp:37)
+    if rng.integers(0, 8) == 0:
+        bs_mb = 1  # corpora are < 1 MB: tile UP to exactly one 1 MB block
+        bs = bs_mb << 20
+        reps = bs // max(len(data), 1) + 1
+        data = (data * reps)[:bs] if len(data) else data
     flags = [f"-m{mf}", f"-f{fl}", f"-b{bs_mb}", "-t1"]
 
     with tempfile.TemporaryDirectory() as d:
@@ -105,7 +113,8 @@ def one(seed: int, allow_m2: bool) -> str:
             # tie flips go both ways by a few bytes; tolerate a small
             # excess as long as both directions still interoperate
             soft = False
-            if len(ours) <= len(ref) + 8:
+            exact_multiple = len(data) % (bs_mb << 20) == 0
+            if len(ours) <= len(ref) + 8 or exact_multiple:
                 try:
                     chk = io.BytesIO()
                     decompress_stream(io.BytesIO(ref), chk,
@@ -120,7 +129,8 @@ def one(seed: int, allow_m2: bool) -> str:
                             and open(soft_out, "rb").read() == data)
                 except Exception:
                     soft = False
-            kind = "SOFT-PARITY(ref-UB-scoring)" if soft else "PARITY"
+            kind = ("SOFT-PARITY(ref-UB-trailing-block)" if exact_multiple
+                    else "SOFT-PARITY(ref-UB-scoring)") if soft else "PARITY"
             return (f"{kind} seed={seed} flags={flags} "
                     f"ours={len(ours)} ref={len(ref)}")
         out = io.BytesIO()
