@@ -104,7 +104,9 @@ def decode_lanes_wide(buf: jnp.ndarray, starts: jnp.ndarray,
     nq_col = jnp.arange(NQ)[None, :]
 
     def renorm(x, ptr, active):
-        for _ in range(3):
+        # two refills always suffice: pre-advance x >= 2^23 and freq >= 1
+        # give post-advance x >= 2^7, and 7 + 2*8 = 23 bits renormalizes
+        for _ in range(2):
             need = active & (x < RANS_BYTE_L)
             x = jnp.where(need, (x << 8) | buf[ptr], x)
             ptr = jnp.where(need, ptr + 1, ptr)
@@ -127,8 +129,12 @@ def decode_lanes_wide(buf: jnp.ndarray, starts: jnp.ndarray,
         e, lo, hi = _find_lo_hi(exp_cum, rng)
         x2 = advance(x, lo, hi - lo)
         x2, ptr = renorm(x2, ptr, active)
-        # adaptive CDF mixing (interior entries only), frozen when inactive
-        mix_rows = exp_mix[e]
+        # adaptive CDF mixing (interior entries only), frozen when inactive;
+        # 8-way select instead of exp_mix[e]: a (L,9) random gather per
+        # step costs more than 8 masked row selects at wide L
+        mix_rows = jnp.broadcast_to(exp_mix[0], (L, 9))
+        for kk in range(1, 8):
+            mix_rows = jnp.where((e == kk)[:, None], exp_mix[kk], mix_rows)
         upd = exp_cum + ((mix_rows - exp_cum) >> RATE)
         interior = (jnp.arange(9) > 0) & (jnp.arange(9) < 8)
         exp_cum = jnp.where(active[:, None] & interior[None, :], upd, exp_cum)
@@ -170,7 +176,14 @@ def decode_lanes_wide(buf: jnp.ndarray, starts: jnp.ndarray,
 
         # ---- adaptive mantissa update (alpha = 2: interior entry is col 1)
         a_upd = active & is_adaptive
-        mix_a = ma_mix[ei, jnp.clip(m_a, 0, 1)]  # (L, 3)
+        m_a01 = jnp.clip(m_a, 0, 1)
+        mix_a = jnp.broadcast_to(ma_mix[0, 0], (L, 3))  # 4-way select
+        for ii in range(2):
+            for jj in range(2):
+                if ii == 0 and jj == 0:
+                    continue
+                mix_a = jnp.where(((ei == ii) & (m_a01 == jj))[:, None],
+                                  ma_mix[ii, jj], mix_a)
         new_rows = ma_rows + ((mix_a - ma_rows) >> RATE)
         interior3 = (jnp.arange(3) == 1)
         new_rows = jnp.where(interior3[None, :], new_rows, ma_rows)
@@ -236,7 +249,10 @@ def decode_lanes_wide(buf: jnp.ndarray, starts: jnp.ndarray,
             (qc, qf, q_seen, q_exp),
         )
 
-        sym = (exponent[e] + m).astype(jnp.uint16)
+        base = jnp.zeros_like(e)  # 8-way select of EXPONENT[e]
+        for kk in range(1, 8):
+            base = jnp.where(e == kk, jnp.int32(int(EXPONENT[kk])), base)
+        sym = (base + m).astype(jnp.uint16)
         syms = syms.at[:, i].set(jnp.where(active, sym, syms[:, i]))
         return (R, ptr, exp_cum, ma_cum, qc, qf, q_seen, q_exp, syms)
 
