@@ -39,6 +39,7 @@ def one(seed: int) -> str:
         anchor_units=int(rng.choice([120, 240, 480, 960, 1920])),
         ans_chunk=int(rng.choice([32, 128, 512, 1024])) << 10,
         rans_lanes=int(rng.choice([0, 2, 4, 16, 64])),
+        lpx_spans=int(rng.choice([1, 4, 16, 64, 960])),
     )
     arc = io.BytesIO()
     compress_stream(io.BytesIO(data), arc, opt, engine=NativeEngine())
