@@ -146,10 +146,11 @@ def _e2e_metrics(data: np.ndarray) -> dict:
 
         # JT3 wide-interleave stream sized for the device chain: 8 KB
         # entropy chunks x 16 lanes = 32768 lockstep rANS chains, 960 BWT
-        # anchor chains, 960 Lpx spans per block
+        # anchor chains, 4096 Lpx spans (the serial span loop is latency-
+        # bound per step, so span count divides its wall directly)
         opt = Options(blocksize=n, filters=0, match_finder=0,
                       rans_lanes=16, ans_chunk=8 << 10, anchor_units=960,
-                      lpx_spans=960)
+                      lpx_spans=4096)
         crc, payload = compress_block(data, opt, NativeEngine())
         back = decode_block_device(payload, crc, opt.blocksize,
                                    opt.anchor_units, opt.rans_lanes,

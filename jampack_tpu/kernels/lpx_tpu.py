@@ -29,9 +29,14 @@ from ..format.constants import (
 )
 
 
-def _update_table(tbl, cxt, pos, order):
+def _update_table(tbl, cxt, pos, order, active=True):
     """lpx.cpp:11-54 semantics on the (3, 256) table pytree; returns
-    (tbl, new_order)."""
+    (tbl, new_order).
+
+    `active` gates the whole update: with it False every write stores the
+    value already there and new_order == order, so callers need NO outer
+    whole-table where — that select was copying all five tables per step
+    (the dominant cost of the lockstep span loop)."""
     cxt_t, pos_t, hits_t, miss_t, thr_t = tbl
     o = order
     t = o - 1
@@ -49,7 +54,7 @@ def _update_table(tbl, cxt, pos, order):
         distance <= lower, lower, jnp.where(distance > upper, upper, distance)
     )
 
-    gate = pos > o
+    gate = active & (pos > o)
     match = gate & (cxt_t[t, lp] == ls)
     mismatch = gate & (cxt_t[t, lp] != ls)
 
@@ -141,11 +146,8 @@ def _code_span(inp, length, max_len: int, decode: bool, steps=None):
         # decoding, the raw input while encoding (lpx.cpp run body)
         orig_byte = emitted if decode else cur
 
-        new_tbl, new_order = _update_table(tbl, cxt, i, order)
-        tbl = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(active, new, old), new_tbl, tbl
-        )
-        order = jnp.where(active, new_order, order)
+        tbl, new_order = _update_table(tbl, cxt, i, order, active)
+        order = new_order  # == order when inactive (gates are off)
         cxt = jnp.where(
             active, (cxt << 8) | orig_byte.astype(jnp.uint32), cxt
         )
