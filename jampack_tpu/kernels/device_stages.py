@@ -315,19 +315,29 @@ def lz_expand_core(buf: jnp.ndarray, d_, s_, l_, o_, m_, out_len,
     is_lit = (r & 1) == 0
     src_idx = jnp.clip(s_[tok] + (p - d_[tok]), 0, buf.shape[0] - 1)
     val = jnp.where(is_lit, buf[src_idx], 0).astype(jnp.uint8)
-    ptr = jnp.where(is_lit | (p >= out_len), p, p - o_[tok])
+    self_ref = is_lit | (p >= out_len)
+    ptr = jnp.where(self_ref, p, p - o_[tok])
     ptr = jnp.clip(ptr, 0, out_cap - 1)
 
-    def cond(c):
-        ptr, _ = c
-        return jnp.any(ptr != ptr[ptr])
+    def resolve(args):
+        val, ptr = args
 
-    def body(c):
-        ptr, k = c
-        return ptr[ptr], k + 1
+        def cond(c):
+            ptr, _ = c
+            return jnp.any(ptr != ptr[ptr])
 
-    ptr, _ = jax.lax.while_loop(cond, body, (ptr, jnp.int32(0)))
-    return val[ptr]
+        def body(c):
+            ptr, k = c
+            return ptr[ptr], k + 1
+
+        ptr, _ = jax.lax.while_loop(cond, body, (ptr, jnp.int32(0)))
+        return val[ptr]
+
+    # all-literal streams (m0 on match-free data) already have ptr == p:
+    # skip the doubling loop AND the final out_cap-wide gather (each a
+    # ~100 ms op per 8 MB here)
+    return jax.lax.cond(
+        jnp.any(~self_ref), resolve, lambda a: a[0], (val, ptr))
 
 
 def lz_decode_dyn_core(buf: jnp.ndarray, n, max_tokens: int, out_cap: int):
@@ -370,39 +380,46 @@ def filters_decode_dyn_core(buf: jnp.ndarray, m, out_cap: int):
     w = jnp.maximum(width, 1)[:, None]
     L = plen[:, None]
 
-    # ---- type 0: sequential delta over the reordered stream = cumsum
-    dec_delta = jnp.cumsum(C, axis=1) & 0xFF
+    # ---- types 0/1 (delta / LPC + channel unreorder), gated at block
+    # level: a -f0 stream pays neither the cumsum nor the unreorder gather
+    def run_01(C):
+        # sequential delta over the reordered stream = cumsum
+        dec_delta = jnp.cumsum(C, axis=1) & 0xFF
 
-    # ---- type 1: LPC serial recurrence, run only when some chunk needs it
-    def run_lpc(C):
-        def body(i, carry):
-            out, weight, p1, p2 = carry
-            active = i < plen
-            err = C[:, i]
-            cur = (weight + (((p1 - p2) + p1) - err)) & 0xFF
-            nw = weight + ((err - weight) >> _WEIGHT_RATE)
-            out = out.at[:, i].set(jnp.where(active, cur, out[:, i]))
-            return (out,
-                    jnp.where(active, nw, weight),
-                    jnp.where(active, cur, p1),
-                    jnp.where(active, p1, p2))
+        # LPC serial recurrence, run only when some chunk needs it
+        def run_lpc(C):
+            def body(i, carry):
+                out, weight, p1, p2 = carry
+                active = i < plen
+                err = C[:, i]
+                cur = (weight + (((p1 - p2) + p1) - err)) & 0xFF
+                nw = weight + ((err - weight) >> _WEIGHT_RATE)
+                out = out.at[:, i].set(jnp.where(active, cur, out[:, i]))
+                return (out,
+                        jnp.where(active, nw, weight),
+                        jnp.where(active, cur, p1),
+                        jnp.where(active, p1, p2))
 
-        z = jnp.zeros(FMAX, jnp.int32)
-        out0 = jnp.zeros((FMAX, _FBS), jnp.int32)
-        lpc_steps = jnp.max(jnp.where((ftype == 1) & (width > 0), plen, 0))
-        out, _, _, _ = jax.lax.fori_loop(0, lpc_steps, body, (out0, z, z, z))
-        return out
+            z = jnp.zeros(FMAX, jnp.int32)
+            out0 = jnp.zeros((FMAX, _FBS), jnp.int32)
+            lpc_steps = jnp.max(jnp.where((ftype == 1) & (width > 0), plen, 0))
+            out, _, _, _ = jax.lax.fori_loop(
+                0, lpc_steps, body, (out0, z, z, z))
+            return out
 
-    any_lpc = jnp.any(have & (ftype == 1) & (width > 0))
-    dec_lpc = jax.lax.cond(any_lpc, run_lpc, lambda C: C, C)
+        any_lpc = jnp.any(have & (ftype == 1) & (width > 0))
+        dec_lpc = jax.lax.cond(any_lpc, run_lpc, lambda C: C, C)
 
-    # ---- unreorder gather for types 0/1: original position p came from
-    # reordered index base(p % w) + p // w with base(c) = c*(L//w) + min(c, L%w)
-    ch = jj % w
-    ro = ch * (L // w) + jnp.minimum(ch, L % w) + jj // w
-    ro = jnp.clip(ro, 0, _FBS - 1)
-    dec01 = jnp.where(ftype[:, None] == 1, dec_lpc, dec_delta)
-    dec01 = jnp.take_along_axis(dec01, ro, axis=1)
+        # unreorder gather: original position p came from reordered index
+        # base(p % w) + p // w with base(c) = c*(L//w) + min(c, L%w)
+        ch = jj % w
+        ro = ch * (L // w) + jnp.minimum(ch, L % w) + jj // w
+        ro = jnp.clip(ro, 0, _FBS - 1)
+        dec01 = jnp.where(ftype[:, None] == 1, dec_lpc, dec_delta)
+        return jnp.take_along_axis(dec01, ro, axis=1)
+
+    any_01 = jnp.any(have & (ftype <= 1) & (width > 0))
+    dec01 = jax.lax.cond(any_01, run_01, lambda C: C, C)
 
     # ---- type 2: inline per-channel delta = stride-w doubling prefix sum
     def run_inline(C):
@@ -425,12 +442,16 @@ def filters_decode_dyn_core(buf: jnp.ndarray, m, out_cap: int):
     dec = jnp.where((width[:, None] > 0),
                     jnp.where(ftype[:, None] == 2, dec2, dec01), C)
 
-    # ---- scatter chunks into the contiguous output
-    outbase = jnp.cumsum(plen) - plen
+    # ---- concatenate chunks into the contiguous output.  plen is FBS for
+    # every chunk but the last (headers sit at fixed strides), so chunk k's
+    # output base is k*FBS by construction: a masked reshape, never a
+    # scatter.
     out_len = jnp.sum(plen)
-    flat_pos = jnp.where(inb, outbase[:, None] + jj, out_cap)
-    out = jnp.zeros(out_cap + 1, jnp.uint8).at[flat_pos.reshape(-1)].set(
-        dec.astype(jnp.uint8).reshape(-1), mode="drop")[:out_cap]
+    flat = jnp.where(inb, dec, 0).astype(jnp.uint8).reshape(-1)
+    if flat.shape[0] >= out_cap:
+        out = flat[:out_cap]
+    else:  # unreachable for FMAX = out_cap//(FBS+2)+2; keep a safe path
+        out = jnp.pad(flat, (0, out_cap - flat.shape[0]))
     return out, out_len, ok
 
 
@@ -575,16 +596,18 @@ def decode_block_core(payload: jnp.ndarray, starts: jnp.ndarray,
     # ---- 1. entropy chains in lockstep
     syms, eok = decode_lanes_wide(payload, starts, rlens, max_rlen=rmax)
 
-    # ---- 2. per-chunk symbol rows (undo the round-robin lane deal)
+    # ---- 2. per-chunk symbol rows (undo the round-robin lane deal).
+    # Chunk c owns chain rows [c*lanes, (c+1)*lanes) and chunk symbol j
+    # lives at (row j % lanes, col j // lanes): exactly a reshape +
+    # transpose — a layout op, NOT a gather (the gather form cost ~1.5 s
+    # per 8 MB on this platform)
     if lanes >= 2:
-        smax = rmax * lanes
-        j = jnp.arange(smax, dtype=jnp.int32)
-        c = jnp.arange(CMAX, dtype=jnp.int32)
-        row = c[:, None] * lanes + (j % lanes)[None, :]
-        col = (j // lanes)[None, :]
-        chunk_syms = syms[row, jnp.broadcast_to(col, row.shape)]
+        chunk_syms = (
+            syms.reshape(CMAX, lanes, rmax)
+            .transpose(0, 2, 1)
+            .reshape(CMAX, rmax * lanes)
+        )
     else:
-        smax = rmax
         chunk_syms = syms[:CMAX]
 
     # ---- 3. RLE0 per chunk
@@ -595,15 +618,35 @@ def decode_block_core(payload: jnp.ndarray, starts: jnp.ndarray,
     # ---- 4. SRC rank decode, all chunks in lockstep
     chunk_bytes, rank_ok = rank_decode_core(ranks, freqs, chunk_olens, ocap)
 
-    # ---- 5. concatenate chunks: one flat scatter of the chunk rows
-    # (a searchsorted-based gather costs ~2 s at 16M positions here)
+    # ---- 5. concatenate chunks: when every nonempty chunk starts at
+    # c*ocap (i.e. all preceding chunks are exactly full — the common case
+    # for uniform-chunk streams) the rows already ARE the contiguous
+    # output (rank_decode zero-pads past olen), so a reshape suffices;
+    # otherwise one flat scatter (a searchsorted-based gather costs ~2 s
+    # at 16M positions here)
     base = jnp.cumsum(chunk_olens) - chunk_olens
     total = jnp.sum(chunk_olens)
     jj = jnp.arange(ocap, dtype=jnp.int32)[None, :]
-    flat_pos = jnp.where(jj < chunk_olens[:, None], base[:, None] + jj,
-                         out_cap)
-    stage = jnp.zeros(out_cap + 1, jnp.uint8).at[flat_pos.reshape(-1)].set(
-        chunk_bytes.reshape(-1), mode="drop")[:out_cap]
+    can_reshape = CMAX * ocap >= out_cap  # static
+    aligned = jnp.all(
+        (base == jnp.arange(CMAX, dtype=jnp.int32) * ocap)
+        | (chunk_olens <= 0)
+    ) & can_reshape
+
+    def concat_reshape(cb):
+        return cb.reshape(-1)[:out_cap]
+
+    def concat_scatter(cb):
+        flat_pos = jnp.where(jj < chunk_olens[:, None], base[:, None] + jj,
+                             out_cap)
+        return jnp.zeros(out_cap + 1, jnp.uint8).at[
+            flat_pos.reshape(-1)].set(cb.reshape(-1), mode="drop")[:out_cap]
+
+    if can_reshape:
+        stage = jax.lax.cond(aligned, concat_reshape, concat_scatter,
+                             chunk_bytes)
+    else:
+        stage = concat_scatter(chunk_bytes)
 
     # ---- 6..9. inverse BWT, LZ (mode), Lpx, filters, LZ (dedupe)
     stage, n, ib_ok = ibwt_dyn_core(stage, total, units, out_cap)

@@ -71,7 +71,13 @@ def plan_shapes(metas, payload_lens, blocksize: int, lanes: int):
                       else 1) for m in metas), 16)
     ocap = min(ocap, _pow2(ANS_CHUNK_SIZE))
     pcap = _pow2(max(payload_lens), 64)
-    out_cap = _pow2(int(blocksize * 1.05) + 1024)
+    # the stage-buffer capacity sizes EVERY out_cap-shaped stage op (sorts,
+    # scans, scatters), so a pow2 bucket wastes up to 2x wall; quantize to
+    # 1 MB granularity instead (pow2 below 1 MB) — compile variants stay
+    # bounded by distinct block sizes, which archives keep constant
+    need = int(blocksize * 1.05) + 1024
+    mb = 1 << 20
+    out_cap = _pow2(need) if need < mb else ((need + mb - 1) // mb) * mb
     max_tokens = max(out_cap // 256, 4096)
     return dict(cmax=cmax, lmax=lmax, rmax=rmax, ocap=ocap, pcap=pcap,
                 out_cap=out_cap, max_tokens=max_tokens)
