@@ -29,24 +29,36 @@ from ..format.constants import (
 )
 
 
+# Field layout of the packed (3, 256, 5) table: one row per (order, prefix)
+# holding (cxt, pos, hits, miss, thr).  All five fields share the (t, lp)
+# index, so packing them turns every per-step table access into ONE row
+# gather / scatter instead of five — under the spans vmap these are the
+# per-step random-access ops, and batched gathers are the platform's cost
+# center (CLAUDE.md walls).
+_F_CXT, _F_POS, _F_HITS, _F_MISS, _F_THR = range(5)
+
+
 def _update_table(tbl, cxt, pos, order, active=True):
-    """lpx.cpp:11-54 semantics on the (3, 256) table pytree; returns
+    """lpx.cpp:11-54 semantics on the packed (3, 256, 5) table; returns
     (tbl, new_order).
 
     `active` gates the whole update: with it False every write stores the
     value already there and new_order == order, so callers need NO outer
     whole-table where — that select was copying all five tables per step
     (the dominant cost of the lockstep span loop)."""
-    cxt_t, pos_t, hits_t, miss_t, thr_t = tbl
     o = order
     t = o - 1
     lp = (cxt >> (o * 8)).astype(jnp.int32) & 0xFF
     ls = (cxt & ((jnp.uint32(1) << (o * 8)) - 1)).astype(jnp.int32)
 
-    distance = pos - pos_t[t, lp]
+    row = tbl[t, lp]  # (5,): one gather for all five fields
+    r_cxt, r_pos, r_hits, r_miss, r_thr = (
+        row[_F_CXT], row[_F_POS], row[_F_HITS], row[_F_MISS], row[_F_THR])
+
+    distance = pos - r_pos
     lower = jnp.int32(LPX_MIN_THRESHOLD)
     upper = jnp.where(
-        hits_t[t, lp] < LPX_MAX_THRESHOLD,
+        r_hits < LPX_MAX_THRESHOLD,
         jnp.maximum(distance, lower),
         jnp.minimum(distance >> o, LPX_MAX_THRESHOLD >> o),
     )
@@ -55,48 +67,40 @@ def _update_table(tbl, cxt, pos, order, active=True):
     )
 
     gate = active & (pos > o)
-    match = gate & (cxt_t[t, lp] == ls)
-    mismatch = gate & (cxt_t[t, lp] != ls)
+    match = gate & (r_cxt == ls)
+    mismatch = gate & (r_cxt != ls)
 
     # ---- primary-record updates (always the entry order's record)
-    new_pos = jnp.where(match, pos - o, pos_t[t, lp])
-    new_hits = jnp.where(match, hits_t[t, lp] + 1, hits_t[t, lp])
-    new_miss = jnp.where(match, 0, miss_t[t, lp])
-    new_hits = jnp.where(mismatch, hits_t[t, lp] >> 2, new_hits)
-    new_miss = jnp.where(mismatch, miss_t[t, lp] + 1, new_miss)
-    new_cxt = jnp.where(mismatch, ls, cxt_t[t, lp])
+    new_pos = jnp.where(match, pos - o, r_pos)
+    new_hits = jnp.where(match, r_hits + 1, r_hits)
+    new_miss = jnp.where(match, 0, r_miss)
+    new_hits = jnp.where(mismatch, r_hits >> 2, new_hits)
+    new_miss = jnp.where(mismatch, r_miss + 1, new_miss)
+    new_cxt = jnp.where(mismatch, ls, r_cxt)
 
-    o_down = match & (new_hits > ((thr_t[t, lp] << o) << 3)) & (o > 1) & (o <= 3)
+    o_down = match & (new_hits > ((r_thr << o) << 3)) & (o > 1) & (o <= 3)
     o_up = (
         mismatch
-        & (new_miss > thr_t[t, lp] * thr_t[t, lp] * o)
+        & (new_miss > r_thr * r_thr * o)
         & (o >= 1) & (o < 3)
     )
     new_order = jnp.where(o_down, o - 1, jnp.where(o_up, o + 1, o))
 
-    tbl = (
-        cxt_t.at[t, lp].set(new_cxt),
-        pos_t.at[t, lp].set(new_pos),
-        hits_t.at[t, lp].set(new_hits),
-        miss_t.at[t, lp].set(new_miss),
-        thr_t,
-    )
+    tbl = tbl.at[t, lp].set(
+        jnp.stack([new_cxt, new_pos, new_hits, new_miss, r_thr]))
 
     # ---- trailing threshold update: the reference re-dereferences *order
     # (lpx.cpp:29-52), so this reads/writes the POST-adjustment order's
     # record for the same leading prefix, shifted by the new order
-    cxt_t, pos_t, hits_t, miss_t, thr_t = tbl
     tn = new_order - 1
-    thr_up = match & (hits_t[tn, lp] > (thr_t[tn, lp] << 1)) & (
-        miss_t[tn, lp] == 0
-    )
-    thr_m = thr_t[tn, lp] + ((bound - thr_t[tn, lp]) >> new_order)
-    thr_up2 = mismatch & (miss_t[tn, lp] > thr_t[tn, lp])
-    thr_mm = thr_t[tn, lp] + (
-        (LPX_MAX_THRESHOLD - thr_t[tn, lp]) >> (4 - new_order)
-    )
-    new_thr = jnp.where(thr_up, thr_m, jnp.where(thr_up2, thr_mm, thr_t[tn, lp]))
-    tbl = (cxt_t, pos_t, hits_t, miss_t, thr_t.at[tn, lp].set(new_thr))
+    row2 = tbl[tn, lp]  # post-primary-write read (tn may equal t)
+    h2, m2, th2 = row2[_F_HITS], row2[_F_MISS], row2[_F_THR]
+    thr_up = match & (h2 > (th2 << 1)) & (m2 == 0)
+    thr_m = th2 + ((bound - th2) >> new_order)
+    thr_up2 = mismatch & (m2 > th2)
+    thr_mm = th2 + ((LPX_MAX_THRESHOLD - th2) >> (4 - new_order))
+    new_thr = jnp.where(thr_up, thr_m, jnp.where(thr_up2, thr_mm, th2))
+    tbl = tbl.at[tn, lp, _F_THR].set(new_thr)
     return tbl, new_order
 
 
@@ -106,26 +110,21 @@ def _code_span(inp, length, max_len: int, decode: bool, steps=None):
     `steps` optionally bounds the loop with a traced value (pass the batch
     max length when max_len is a large static capacity — the body masks on
     `length`, so extra steps are no-ops but not free)."""
-    tbl = (
-        jnp.zeros((3, 256), jnp.int32),
-        jnp.zeros((3, 256), jnp.int32),
-        jnp.zeros((3, 256), jnp.int32),
-        jnp.zeros((3, 256), jnp.int32),
-        jnp.full((3, 256), LPX_MAX_THRESHOLD >> 1, jnp.int32),
-    )
+    tbl = jnp.zeros((3, 256, 5), jnp.int32).at[:, :, _F_THR].set(
+        LPX_MAX_THRESHOLD >> 1)
     out = jnp.zeros(max_len, jnp.uint8)
 
     def body(i, carry):
         tbl, out, cxt, order, in_run, run_dist = carry
         active = i < length
-        _, pos_t, hits_t, _, thr_t = tbl
 
         lp0 = (cxt & 0xFF).astype(jnp.int32)
         t = order - 1
-        dist_new = (jnp.uint32(i) - pos_t[t, lp0].astype(jnp.uint32))
+        row0 = tbl[t, lp0]  # (5,): one gather for pos/hits/thr
+        dist_new = (jnp.uint32(i) - row0[_F_POS].astype(jnp.uint32))
         start_run = (
             jnp.logical_not(in_run)
-            & (hits_t[t, lp0] > thr_t[t, lp0])
+            & (row0[_F_HITS] > row0[_F_THR])
             & (dist_new < LPX_MAX_RECORD_SIZE)
         )
         coding = in_run | start_run

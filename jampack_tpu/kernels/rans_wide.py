@@ -77,6 +77,12 @@ def decode_lanes_wide(buf: jnp.ndarray, starts: jnp.ndarray,
     L = starts.shape[0]
     buf = buf.astype(jnp.uint32)
     mask16 = jnp.uint32(PROB_SCALE - 1)
+    # 4-byte little-endian lookahead window at every position: the two
+    # renorms of a step consume <= 4 sequential bytes total, so ONE window
+    # gather per step replaces up to four byte gathers (gathers are the
+    # per-step random-access cost; the window build is elementwise)
+    bp = jnp.pad(buf, (0, 3))
+    win = bp[:-3] | (bp[1:-2] << 8) | (bp[2:-1] << 16) | (bp[3:] << 24)
 
     def read32(p):
         return buf[p] | (buf[p + 1] << 8) | (buf[p + 2] << 16) | (buf[p + 3] << 24)
@@ -103,14 +109,17 @@ def decode_lanes_wide(buf: jnp.ndarray, starts: jnp.ndarray,
     syms = jnp.zeros((L, max_rlen), dtype=jnp.uint16)
     nq_col = jnp.arange(NQ)[None, :]
 
-    def renorm(x, ptr, active):
+    def renorm(x, w, kb, active):
         # two refills always suffice: pre-advance x >= 2^23 and freq >= 1
-        # give post-advance x >= 2^7, and 7 + 2*8 = 23 bits renormalizes
+        # give post-advance x >= 2^7, and 7 + 2*8 = 23 bits renormalizes.
+        # Bytes come from the step's window w at local byte offset kb (< 4
+        # over both renorms of a step by the bound above).
         for _ in range(2):
             need = active & (x < RANS_BYTE_L)
-            x = jnp.where(need, (x << 8) | buf[ptr], x)
-            ptr = jnp.where(need, ptr + 1, ptr)
-        return x, ptr
+            byte = (w >> (kb << 3).astype(jnp.uint32)) & jnp.uint32(0xFF)
+            x = jnp.where(need, (x << 8) | byte, x)
+            kb = jnp.where(need, kb + 1, kb)
+        return x, kb
 
     def advance(x, lo, fq):
         return (
@@ -122,13 +131,15 @@ def decode_lanes_wide(buf: jnp.ndarray, starts: jnp.ndarray,
     def body(i, carry):
         (R, ptr, exp_cum, ma_cum, qc, qf, q_seen, q_exp, syms) = carry
         active = i < rlens
+        w = win[ptr]  # the step's single payload gather
+        kb = jnp.zeros_like(ptr)
 
         # ---- exponent symbol (adaptive, alpha = 8)
         x = R[:, 0]
         rng = (x & mask16).astype(jnp.int32)
         e, lo, hi = _find_lo_hi(exp_cum, rng)
         x2 = advance(x, lo, hi - lo)
-        x2, ptr = renorm(x2, ptr, active)
+        x2, kb = renorm(x2, w, kb, active)
         # adaptive CDF mixing (interior entries only), frozen when inactive;
         # 8-way select instead of exp_mix[e]: a (L,9) random gather per
         # step costs more than 8 masked row selects at wide L
@@ -169,7 +180,8 @@ def decode_lanes_wide(buf: jnp.ndarray, starts: jnp.ndarray,
         lo = jnp.where(is_adaptive, lo_a, lo_q)
         fq = jnp.where(is_adaptive, hi_a - lo_a, hi_q - lo_q)
         x2 = advance(x, lo, fq)
-        x2, ptr = renorm(x2, ptr, active)
+        x2, kb = renorm(x2, w, kb, active)
+        ptr = ptr + kb
         R = jnp.concatenate(
             [R[:, 1:], jnp.where(active, x2, R[:, 0])[:, None]], axis=1
         )
