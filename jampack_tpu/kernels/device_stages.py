@@ -593,21 +593,17 @@ def decode_block_core(payload: jnp.ndarray, starts: jnp.ndarray,
     """
     CMAX = chunk_olens.shape[0]
 
-    # ---- 1. entropy chains in lockstep
-    syms, eok = decode_lanes_wide(payload, starts, rlens, max_rlen=rmax)
-
-    # ---- 2. per-chunk symbol rows (undo the round-robin lane deal).
-    # Chunk c owns chain rows [c*lanes, (c+1)*lanes) and chunk symbol j
-    # lives at (row j % lanes, col j // lanes): exactly a reshape +
-    # transpose — a layout op, NOT a gather (the gather form cost ~1.5 s
-    # per 8 MB on this platform)
+    # ---- 1+2. entropy chains in lockstep, emitted directly in per-chunk
+    # undealt layout (chunk c owns chain rows [c*lanes, (c+1)*lanes) and
+    # chunk symbol j lives at (row j % lanes, col j // lanes)): the rANS
+    # loop writes its per-step slab straight into that layout, so the
+    # "lane undeal" costs nothing (the reshape+transpose form cost ~1.8 s
+    # per 8 MB block on this platform)
     if lanes >= 2:
-        chunk_syms = (
-            syms.reshape(CMAX, lanes, rmax)
-            .transpose(0, 2, 1)
-            .reshape(CMAX, rmax * lanes)
-        )
+        chunk_syms, eok = decode_lanes_wide(
+            payload, starts, rlens, max_rlen=rmax, groups=CMAX)
     else:
+        syms, eok = decode_lanes_wide(payload, starts, rlens, max_rlen=rmax)
         chunk_syms = syms[:CMAX]
 
     # ---- 3. RLE0 per chunk

@@ -29,29 +29,44 @@ from ..format.constants import (
 )
 
 
-# Field layout of the packed (3, 256, 5) table: one row per (order, prefix)
-# holding (cxt, pos, hits, miss, thr).  All five fields share the (t, lp)
-# index, so packing them turns every per-step table access into ONE row
-# gather / scatter instead of five — under the spans vmap these are the
+# Field layout of the packed (4, 256, 5) table: one row per (order, prefix)
+# holding (cxt, pos, hits, miss, thr); orders 1..3 live in slices 0..2 and
+# slice 3 is a write-scratch slot (below).  All five fields share the
+# (t, lp) index, so packing them turns every per-step table access into ONE
+# row gather / scatter instead of five — under the spans vmap these are the
 # per-step random-access ops, and batched gathers are the platform's cost
 # center (CLAUDE.md walls).
 _F_CXT, _F_POS, _F_HITS, _F_MISS, _F_THR = range(5)
 
+# Number of order slices incl. the scratch row.
+_T_SLICES = 4
 
-def _update_table(tbl, cxt, pos, order, active=True):
-    """lpx.cpp:11-54 semantics on the packed (3, 256, 5) table; returns
+
+def _update_table(tbl, cxt, pos, order, rows, active=True):
+    """lpx.cpp:11-54 semantics on the packed (4, 256, 5) table; returns
     (tbl, new_order).
 
+    `rows` is the (3, 5) pre-gathered slice [tbl[t,lp], tbl[t-1,lp],
+    tbl[t+1,lp]] (clipped t±1) fetched by the caller BEFORE any write this
+    step — every value this update needs is known up front, so the whole
+    update is ONE two-row scatter with no read-after-write on the carried
+    table (a gather of a freshly scattered buffer forces XLA to materialize
+    a copy of the whole table every step; that copy was ~95% of the span
+    loop's wall).  The trailing threshold update targets the POST-adjustment
+    order's record (the reference re-derefs *order, lpx.cpp:29-52): when the
+    order moved, that row was untouched by the primary write and the
+    pre-gathered value is current; when it did not move, the primary row's
+    just-computed fields are used directly and the second scatter row is
+    parked in scratch slice 3.
+
     `active` gates the whole update: with it False every write stores the
-    value already there and new_order == order, so callers need NO outer
-    whole-table where — that select was copying all five tables per step
-    (the dominant cost of the lockstep span loop)."""
+    value already there and new_order == order."""
     o = order
     t = o - 1
     lp = (cxt >> (o * 8)).astype(jnp.int32) & 0xFF
     ls = (cxt & ((jnp.uint32(1) << (o * 8)) - 1)).astype(jnp.int32)
 
-    row = tbl[t, lp]  # (5,): one gather for all five fields
+    row, row_dn, row_up = rows[0], rows[1], rows[2]
     r_cxt, r_pos, r_hits, r_miss, r_thr = (
         row[_F_CXT], row[_F_POS], row[_F_HITS], row[_F_MISS], row[_F_THR])
 
@@ -86,21 +101,26 @@ def _update_table(tbl, cxt, pos, order, active=True):
     )
     new_order = jnp.where(o_down, o - 1, jnp.where(o_up, o + 1, o))
 
-    tbl = tbl.at[t, lp].set(
-        jnp.stack([new_cxt, new_pos, new_hits, new_miss, r_thr]))
-
-    # ---- trailing threshold update: the reference re-dereferences *order
-    # (lpx.cpp:29-52), so this reads/writes the POST-adjustment order's
-    # record for the same leading prefix, shifted by the new order
+    # ---- trailing threshold update on the new order's record
     tn = new_order - 1
-    row2 = tbl[tn, lp]  # post-primary-write read (tn may equal t)
-    h2, m2, th2 = row2[_F_HITS], row2[_F_MISS], row2[_F_THR]
+    same = tn == t
+    pre2 = jnp.where(tn < t, row_dn, row_up)  # valid whenever ~same
+    h2 = jnp.where(same, new_hits, pre2[_F_HITS])
+    m2 = jnp.where(same, new_miss, pre2[_F_MISS])
+    th2 = jnp.where(same, r_thr, pre2[_F_THR])
     thr_up = match & (h2 > (th2 << 1)) & (m2 == 0)
     thr_m = th2 + ((bound - th2) >> new_order)
     thr_up2 = mismatch & (m2 > th2)
     thr_mm = th2 + ((LPX_MAX_THRESHOLD - th2) >> (4 - new_order))
     new_thr = jnp.where(thr_up, thr_m, jnp.where(thr_up2, thr_mm, th2))
-    tbl = tbl.at[tn, lp, _F_THR].set(new_thr)
+
+    row_a = jnp.stack([new_cxt, new_pos, new_hits, new_miss,
+                       jnp.where(same, new_thr, r_thr)])
+    row_b = jnp.stack([pre2[_F_CXT], pre2[_F_POS], pre2[_F_HITS],
+                       pre2[_F_MISS], new_thr])
+    tb = jnp.where(same, jnp.int32(_T_SLICES - 1), tn)
+    tbl = tbl.at[jnp.stack([t, tb]), jnp.stack([lp, lp])].set(
+        jnp.stack([row_a, row_b]))
     return tbl, new_order
 
 
@@ -110,7 +130,7 @@ def _code_span(inp, length, max_len: int, decode: bool, steps=None):
     `steps` optionally bounds the loop with a traced value (pass the batch
     max length when max_len is a large static capacity — the body masks on
     `length`, so extra steps are no-ops but not free)."""
-    tbl = jnp.zeros((3, 256, 5), jnp.int32).at[:, :, _F_THR].set(
+    tbl = jnp.zeros((_T_SLICES, 256, 5), jnp.int32).at[:3, :, _F_THR].set(
         LPX_MAX_THRESHOLD >> 1)
     out = jnp.zeros(max_len, jnp.uint8)
 
@@ -120,7 +140,14 @@ def _code_span(inp, length, max_len: int, decode: bool, steps=None):
 
         lp0 = (cxt & 0xFF).astype(jnp.int32)
         t = order - 1
-        row0 = tbl[t, lp0]  # (5,): one gather for pos/hits/thr
+        # ONE fused gather for everything the step reads from the table:
+        # the run-detection row (t, lp0), the primary row (t, lp) and both
+        # candidate trailing rows (t±1, lp) for _update_table
+        lp = (cxt >> (order * 8)).astype(jnp.int32) & 0xFF
+        g = tbl[jnp.stack([t, t, jnp.maximum(t - 1, 0),
+                           jnp.minimum(t + 1, 2)]),
+                jnp.stack([lp0, lp, lp, lp])]  # (4, 5)
+        row0 = g[0]
         dist_new = (jnp.uint32(i) - row0[_F_POS].astype(jnp.uint32))
         start_run = (
             jnp.logical_not(in_run)
@@ -145,7 +172,7 @@ def _code_span(inp, length, max_len: int, decode: bool, steps=None):
         # decoding, the raw input while encoding (lpx.cpp run body)
         orig_byte = emitted if decode else cur
 
-        tbl, new_order = _update_table(tbl, cxt, i, order, active)
+        tbl, new_order = _update_table(tbl, cxt, i, order, g[1:], active)
         order = new_order  # == order when inactive (gates are off)
         cxt = jnp.where(
             active, (cxt << 8) | orig_byte.astype(jnp.uint32), cxt

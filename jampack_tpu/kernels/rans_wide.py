@@ -66,14 +66,21 @@ def _find_lo_hi(rows, rng):
     return m, lo, hi
 
 
-@partial(jax.jit, static_argnames=("max_rlen",))
+@partial(jax.jit, static_argnames=("max_rlen", "groups"))
 def decode_lanes_wide(buf: jnp.ndarray, starts: jnp.ndarray,
-                      rlens: jnp.ndarray, max_rlen: int):
+                      rlens: jnp.ndarray, max_rlen: int, groups: int = 0):
     """Decode L independent chains in lockstep.
 
     buf: uint8 stream; starts/rlens: (L,) per-chain payload offsets and
     symbol counts.  Returns (syms (L, max_rlen) uint16, ok (L,) bool).
-    """
+
+    With `groups` = G > 0 (G must divide L), the symbols are emitted
+    directly in round-robin-undealt layout instead: (G, max_rlen * L//G)
+    uint16 with chunk-row g's symbol j at column j — i.e. step i writes
+    the (G, L//G) slab at columns [i*L//G, (i+1)*L//G).  This makes the
+    consumer's per-chunk "lane undeal" a no-op: the reshape+transpose form
+    of that undeal cost ~1.8 s per 8 MB block on this platform, the
+    in-loop slab write costs nothing over the (L,) column write."""
     L = starts.shape[0]
     buf = buf.astype(jnp.uint32)
     mask16 = jnp.uint32(PROB_SCALE - 1)
@@ -106,7 +113,11 @@ def decode_lanes_wide(buf: jnp.ndarray, starts: jnp.ndarray,
     exp_mix = jnp.asarray(EXP_MIX)              # (8, 9)
     ma_mix = jnp.asarray(MANT_ADAPT_MIX)        # (2, 2, 3)
     exponent = jnp.asarray(EXPONENT.astype(np.int32))
-    syms = jnp.zeros((L, max_rlen), dtype=jnp.uint16)
+    if groups:
+        assert L % groups == 0
+        syms = jnp.zeros((groups, max_rlen, L // groups), dtype=jnp.uint16)
+    else:
+        syms = jnp.zeros((L, max_rlen), dtype=jnp.uint16)
     nq_col = jnp.arange(NQ)[None, :]
 
     def renorm(x, w, kb, active):
@@ -265,7 +276,13 @@ def decode_lanes_wide(buf: jnp.ndarray, starts: jnp.ndarray,
         for kk in range(1, 8):
             base = jnp.where(e == kk, jnp.int32(int(EXPONENT[kk])), base)
         sym = (base + m).astype(jnp.uint16)
-        syms = syms.at[:, i].set(jnp.where(active, sym, syms[:, i]))
+        # each column is written exactly once and the buffer starts zeroed,
+        # so inactive lanes store 0 — no read of the old value needed
+        sym = jnp.where(active, sym, 0)
+        if groups:
+            syms = syms.at[:, i, :].set(sym.reshape(groups, L // groups))
+        else:
+            syms = syms.at[:, i].set(sym)
         return (R, ptr, exp_cum, ma_cum, qc, qf, q_seen, q_exp, syms)
 
     init = (R, ptr, exp_cum, ma_cum, qc, qf, q_seen, q_exp, syms)
@@ -274,6 +291,8 @@ def decode_lanes_wide(buf: jnp.ndarray, starts: jnp.ndarray,
     steps = jnp.minimum(jnp.maximum(jnp.max(rlens), 0), max_rlen)
     out = jax.lax.fori_loop(0, steps, body, init)
     R, syms = out[0], out[-1]
+    if groups:
+        syms = syms.reshape(groups, max_rlen * (L // groups))
     # rlens < 0 marks batch-padding lanes (no chain there at all)
     ok = jnp.all(R == jnp.uint32(RANS_BYTE_L), axis=1) | (rlens < 0)
     return syms, ok

@@ -74,18 +74,9 @@ def main():
         print(f"{name:28s} {best*1e3:9.1f} ms")
         return r
 
-    # 1. wide rANS
-    f1 = jax.jit(partial(decode_lanes_wide, max_rlen=rmax))
-    syms, eok = timeit("rans_wide", f1, pay, starts, rlens)
-
-    # 2. lane undeal (reshape+transpose form, matching decode_block_core)
-    @jax.jit
-    def undeal(syms):
-        return (syms.reshape(CMAX, lanes, rmax)
-                .transpose(0, 2, 1)
-                .reshape(CMAX, rmax * lanes))
-
-    chunk_syms = timeit("lane_undeal", undeal, syms)
+    # 1. wide rANS, emitting directly in per-chunk undealt layout
+    f1 = jax.jit(partial(decode_lanes_wide, max_rlen=rmax, groups=CMAX))
+    chunk_syms, eok = timeit("rans_wide+undeal", f1, pay, starts, rlens)
 
     # 3. rle0
     f3 = jax.jit(jax.vmap(lambda s, rl, ol: ds.rle0_decode_core(s, rl, ol, ocap)))
