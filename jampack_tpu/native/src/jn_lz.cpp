@@ -178,13 +178,18 @@ static void emit_tokens(const u8* in, const Token* toks, i32 ntok,
 // m0: fast dedupe (lz77.cpp:544-625); `padded` has >= n + kDupeMatch + 8
 // bytes with the tail zeroed.
 static i64 encode_dedupe(const u8* in, i64 n, u8* out) {
-  std::vector<u8> padded(size_t(n) + kDupeMatch + 8, 0);
+  // kPF: the hash table is 16 MB (cache-miss per byte), but the rolling
+  // context is a pure function of stream position — so a second context
+  // running kPF bytes ahead yields the EXACT future hash to prefetch.
+  constexpr i64 kPF = 16;
+  std::vector<u8> padded(size_t(n) + kDupeMatch + 8 + kPF, 0);
   memcpy(padded.data(), in, n);
   const u8* b = padded.data();
   std::vector<i32> table(kHashSize, 0);
 
   const int shift = (kDupeMatch > 32) ? 1 : 32 / kDupeMatch;
-  u32 cxt = 0;
+  u32 cxt = 0, cxt_pf = 0;
+  for (i64 i = 0; i < kPF; i++) cxt_pf = (cxt_pf << shift) ^ b[i + kDupeMatch];
   i64 pos = 0, lit = 0, out_pos = 0;
   while (pos < n) {
     i64 back = 0, len = 0, off = 0;
@@ -217,6 +222,8 @@ static i64 encode_dedupe(const u8* in, i64 n, u8* out) {
         // every rolled context here (lz77.cpp:603-607); replicated
         table[h] = i32(pos);
         cxt = (cxt << shift) ^ b[pos + kDupeMatch + i];
+        cxt_pf = (cxt_pf << shift) ^ b[pos + kPF + kDupeMatch + i];
+        __builtin_prefetch(&table[hash_val(cxt_pf)], 1);
       }
       pos += len;
       lit = 0;
@@ -224,6 +231,8 @@ static i64 encode_dedupe(const u8* in, i64 n, u8* out) {
     h = hash_val(cxt);
     table[h] = i32(pos);
     cxt = (cxt << shift) ^ b[pos + kDupeMatch];
+    cxt_pf = (cxt_pf << shift) ^ b[pos + kPF + kDupeMatch];
+    __builtin_prefetch(&table[hash_val(cxt_pf)], 1);
     pos++;
     lit++;
   }

@@ -43,6 +43,12 @@ void sais_core(const Char* T, i32* SA, i32 n, i32 K) {
     for (i32 c = 0; c < K; c++) { acc += bkt[c]; tail[c] = acc; }
   };
 
+  // The induce passes stream SA but hit ts[] at a random position per
+  // element — a dependent cache miss that dominates the whole build.  The
+  // NEXT few SA slots are already known (sequential read, and slots ahead
+  // written earlier in the same pass stay visible), so prefetching
+  // ts[SA[i+PD]-1] hides most of that latency.
+  constexpr i32 PD = 16;
   auto induce = [&] {
     // L-pass: seed with the predecessor of the sentinel suffix
     reset_heads();
@@ -51,6 +57,10 @@ void sais_core(const Char* T, i32* SA, i32 n, i32 K) {
       if (!(w & 1u)) SA[head[w >> 1]++] = n - 1;
     }
     for (i32 i = 0; i < n; i++) {
+      if (i + PD < n) {
+        i32 pf = SA[i + PD];
+        if (pf > 0) __builtin_prefetch(&ts[pf - 1]);
+      }
       i32 j = SA[i] - 1;
       if (SA[i] > 0) {
         u32 w = ts[j];
@@ -60,6 +70,10 @@ void sais_core(const Char* T, i32* SA, i32 n, i32 K) {
     // S-pass
     reset_tails();
     for (i32 i = n - 1; i >= 0; i--) {
+      if (i - PD >= 0) {
+        i32 pf = SA[i - PD];
+        if (pf > 0) __builtin_prefetch(&ts[pf - 1]);
+      }
       i32 j = SA[i] - 1;
       if (SA[i] > 0) {
         u32 w = ts[j];
@@ -81,13 +95,23 @@ void sais_core(const Char* T, i32* SA, i32 n, i32 K) {
   // and half the cache traffic of an n-sized table).
   std::vector<i32> lms_sorted;
   lms_sorted.reserve(n_lms);
-  for (i32 i = 0; i < n; i++)
+  for (i32 i = 0; i < n; i++) {
+    if (i + PD < n) {
+      i32 pf = SA[i + PD];
+      if (pf > 0) __builtin_prefetch(&ts[pf]);
+    }
     if (SA[i] > 0 && is_lms(SA[i])) lms_sorted.push_back(SA[i]);
+  }
 
   std::vector<i32> name_of((n >> 1) + 1, -1);
   i32 names = 0;
   i32 prev = -1;
   for (i32 idx = 0; idx < n_lms; idx++) {
+    if (idx + 4 < n_lms) {
+      __builtin_prefetch(&T[lms_sorted[idx + 4]]);
+      __builtin_prefetch(&ts[lms_sorted[idx + 4]]);
+      __builtin_prefetch(&name_of[lms_sorted[idx + 4] >> 1], 1);
+    }
     i32 cur = lms_sorted[idx];
     bool same = false;
     if (prev >= 0) {
@@ -117,15 +141,20 @@ void sais_core(const Char* T, i32* SA, i32 n, i32 K) {
     std::vector<i32> sub_sa(n_lms);
     if (names <= 0xFFFF) {
       std::vector<u16> reduced(n_lms);
-      for (i32 i = 0; i < n_lms; i++)
+      for (i32 i = 0; i < n_lms; i++) {
+        if (i + PD < n_lms) __builtin_prefetch(&name_of[lms_pos[i + PD] >> 1]);
         reduced[i] = u16(name_of[lms_pos[i] >> 1]);
+      }
       sais_core<u16>(reduced.data(), sub_sa.data(), n_lms, names);
     } else {
       std::vector<i32> reduced(n_lms);
       for (i32 i = 0; i < n_lms; i++) reduced[i] = name_of[lms_pos[i] >> 1];
       sais_core<i32>(reduced.data(), sub_sa.data(), n_lms, names);
     }
-    for (i32 i = 0; i < n_lms; i++) lms_order[i] = lms_pos[sub_sa[i]];
+    for (i32 i = 0; i < n_lms; i++) {
+      if (i + PD < n_lms) __builtin_prefetch(&lms_pos[sub_sa[i + PD]]);
+      lms_order[i] = lms_pos[sub_sa[i]];
+    }
   } else {
     for (i32 i = 0; i < n_lms; i++)
       lms_order[name_of[lms_pos[i] >> 1]] = lms_pos[i];
@@ -134,7 +163,10 @@ void sais_core(const Char* T, i32* SA, i32 n, i32 K) {
   // 4) final induce from correctly ordered LMS suffixes
   std::fill(SA, SA + n, -1);
   reset_tails();
-  for (i32 i = n_lms - 1; i >= 0; i--) SA[--tail[T[lms_order[i]]]] = lms_order[i];
+  for (i32 i = n_lms - 1; i >= 0; i--) {
+    if (i - 8 >= 0) __builtin_prefetch(&T[lms_order[i - 8]]);
+    SA[--tail[T[lms_order[i]]]] = lms_order[i];
+  }
   induce();
 }
 

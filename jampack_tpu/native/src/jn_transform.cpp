@@ -25,12 +25,24 @@ int64_t jam_bwt_forward_u(const uint8_t* in, int64_t n, uint8_t* out,
     std::vector<i32> sa(nlen);
     suffix_array(in, sa.data(), i32(nlen));
     i32 step = i32(nlen / units);
-    for (i64 i = 0; i < nlen; i++)
-      if ((sa[i] % step) == 0) anchors[sa[i] / step] = i32(i);
-    i32 idx = anchors[0];
+    // one fused pass: anchor detection + BWT emission.  The random
+    // in[sa[i]-1] load is the cost center (one cache miss per element) —
+    // sa[] is read sequentially, so prefetching in[sa[i+16]] hides it.
+    // Divisibility by the runtime `step` uses the multiplicative test
+    // (pos % step == 0  iff  pos * M wraps below M, M = 2^64/step + 1):
+    // the hardware divide cost ~8M divs per block otherwise.
+    uint64_t M = step > 1 ? (~0ULL / uint64_t(step)) + 1 : 0;
     out[0] = in[nlen - 1];
-    for (i64 i = 0; i < idx; i++) out[i + 1] = in[sa[i] - 1];
-    for (i64 i = idx + 1; i < nlen; i++) out[i] = in[sa[i] - 1];
+    i64 off = 1;  // writes land at i+1 until the rank of suffix 0 passes
+    for (i64 i = 0; i < nlen; i++) {
+      if (i + 16 < nlen) __builtin_prefetch(&in[sa[i + 16]]);
+      i32 pos = sa[i];
+      if (step == 1 || (M * uint64_t(uint32_t(pos))) < M) {
+        anchors[pos / step] = i32(i);
+        if (pos == 0) { off = 0; continue; }
+      }
+      out[i + off] = in[pos - 1];
+    }
     for (int i = 0; i < units; i++) anchors[i] += 1;
   }
   memcpy(out + n, anchors.data(), units * sizeof(i32));
