@@ -161,16 +161,18 @@ def rank_decode_core(ranks: jnp.ndarray, freqs: jnp.ndarray,
     r2s, bucket, bucket_end, unique, sym, total = rank_setup_core(ranks, freqs)
     ok = (total == jnp.maximum(olens, 0))
     out = jnp.zeros((L, out_cap), jnp.uint8)
+    # r2s holds symbols (< 256): uint8 quarters the (L, 256) stream traffic
+    # of the per-step shift/select passes, which dominate this loop's wall
+    r2s = r2s.astype(jnp.uint8)
     cols = jnp.arange(256, dtype=jnp.int32)
 
     def body(i, carry):
         r2s, bucket, unique, sym, out = carry
         active = i < olens
-        out = out.at[:, i].set(
-            jnp.where(active, sym.astype(jnp.uint8), out[:, i])
-        )
-        cur = bucket[l_idx, sym]
-        end = bucket_end[l_idx, sym]
+        out = out.at[:, i].set(jnp.where(active, sym, out[:, i]))
+        sym32 = sym.astype(jnp.int32)
+        cur = bucket[l_idx, sym32]
+        end = bucket_end[l_idx, sym32]
         has = active & (cur < end)
         rank = ranks[l_idx, jnp.clip(cur, 0, OCAP - 1)].astype(jnp.int32)
         # branch A: bucket has a next rank
@@ -189,13 +191,13 @@ def rank_decode_core(ranks: jnp.ndarray, freqs: jnp.ndarray,
         r2s = jnp.where(
             do_mtf[:, None], new_r2s_a, jnp.where(fall[:, None], new_r2s_b, r2s)
         )
-        bucket = bucket.at[l_idx, sym].set(jnp.where(has, cur + 1, cur))
+        bucket = bucket.at[l_idx, sym32].set(jnp.where(has, cur + 1, cur))
         new_sym = jnp.where(do_mtf | fall, r2s[:, 0], sym)
         return r2s, bucket, new_unique, new_sym, out
 
     steps = jnp.minimum(jnp.maximum(jnp.max(olens), 0), out_cap)
     _, _, _, _, out = jax.lax.fori_loop(
-        0, steps, body, (r2s, bucket, unique, sym, out)
+        0, steps, body, (r2s, bucket, unique, sym.astype(jnp.uint8), out)
     )
     return out, ok | (olens <= 0)
 
@@ -207,17 +209,17 @@ from ..format.varint import CONSTANTS as _VARINT_CONSTANTS
 from ..format.constants import LZ_MIN_MATCH
 
 
-def _leb_at(buf: jnp.ndarray, pos, n):
-    """Decode one LEB128-with-carry varint at pos (utils.cpp:73-90).
-    Returns (value, nbytes, bad)."""
-    N = buf.shape[0]
-    bs = [buf[jnp.clip(pos + i, 0, N - 1)].astype(jnp.int32) for i in range(5)]
+def _leb_from(getb, base, q, n):
+    """Decode one LEB128-with-carry varint (utils.cpp:73-90) at local byte
+    offset q of a token window; getb(k) yields window byte k, base is the
+    window's absolute position.  Returns (value, nbytes, bad)."""
+    bs = [getb(q + i) for i in range(5)]
     flags = [(b & 0x80) != 0 for b in bs]
     # d = index of the first terminator byte (cap 4: longer is malformed)
     d = jnp.int32(4)
     for i in range(3, -1, -1):
         d = jnp.where(flags[i], jnp.int32(i), d)
-    bad = (pos + d >= n)
+    bad = (base + q + d >= n)
     val = jnp.int32(0)
     for i in range(5):
         use = i < d
@@ -244,6 +246,13 @@ def lz_parse_core(buf: jnp.ndarray, n, max_tokens: int, out_cap: int):
     MT = max_tokens + 1
     dst0 = jnp.full(MT, out_cap + 1, jnp.int32)
     z = jnp.zeros(MT, jnp.int32)
+    N = buf.shape[0]
+    # 4-byte little-endian window at every position: a token is at most 16
+    # bytes (tag + three 5-byte varints), so FOUR window words fetched in
+    # one stacked gather cover the whole token — the byte-at-a-time form
+    # paid 16 scalar gathers per token (the loop's random-access cost)
+    bp = jnp.pad(buf.astype(jnp.uint32), (0, 3))
+    win = bp[:-3] | (bp[1:-2] << 8) | (bp[2:-1] << 16) | (bp[3:] << 24)
 
     def cond(c):
         pos, out_len, t, d_, s_, l_, o_, m_, done, bad = c
@@ -251,20 +260,31 @@ def lz_parse_core(buf: jnp.ndarray, n, max_tokens: int, out_cap: int):
 
     def body(c):
         pos, out_len, t, d_, s_, l_, o_, m_, done, bad = c
-        token = buf[jnp.clip(pos, 0, buf.shape[0] - 1)].astype(jnp.int32)
-        p = pos + 1
-        off, nb, b1 = _leb_at(buf, p, n)
-        p = p + nb
+        w4 = win[jnp.clip(
+            jnp.stack([pos, pos + 4, pos + 8, pos + 12]), 0, N - 1)]
+
+        def getb(k):  # token-window byte k (k < 16), elementwise selects
+            word = jnp.where(
+                k < 4, w4[0], jnp.where(k < 8, w4[1],
+                                        jnp.where(k < 12, w4[2], w4[3])))
+            return ((word >> ((k & 3) * 8).astype(jnp.uint32))
+                    & jnp.uint32(0xFF)).astype(jnp.int32)
+
+        token = getb(jnp.int32(0))
+        q = jnp.int32(1)
+        off, nb, b1 = _leb_from(getb, pos, q, n)
+        q = q + nb
         match = token >> 3
-        ext1, nb1, b2 = _leb_at(buf, p, n)
+        ext1, nb1, b2 = _leb_from(getb, pos, q, n)
         has_mext = match == 31
-        p = jnp.where(has_mext, p + nb1, p)
+        q = jnp.where(has_mext, q + nb1, q)
         match = jnp.where(has_mext, ext1 + 31, match) + LZ_MIN_MATCH
         lit = token & 7
-        ext2, nb2, b3 = _leb_at(buf, p, n)
+        ext2, nb2, b3 = _leb_from(getb, pos, q, n)
         has_lext = lit == 7
-        p = jnp.where(has_lext, p + nb2, p)
+        q = jnp.where(has_lext, q + nb2, q)
         lit = jnp.where(has_lext, ext2 + 7, lit)
+        p = pos + q
         bad = bad | b1 | (has_mext & b2) | (has_lext & b3)
         bad = bad | (match < 0) | (lit < 0) | (off < 0) | (t >= MT)
         ts = jnp.clip(t, 0, MT - 1)
