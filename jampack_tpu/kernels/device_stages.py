@@ -574,10 +574,31 @@ def ibwt_dyn_core(buf: jnp.ndarray, total, units: int, out_cap: int):
 
     p0 = jnp.clip(anchors, 1, jnp.maximum(nlen, 1))
     _, chunk = jax.lax.fori_loop(0, step, body, (p0, chunk))
-    # output position i (< nlen) = chunk[i % step, i // step]; raw tail after
-    s = jnp.where(step > 0, pos % jnp.maximum(step, 1), 0)
-    uu = jnp.where(step > 0, pos // jnp.maximum(step, 1), 0)
-    body_bytes = chunk.reshape(-1)[jnp.clip(s * units + uu, 0, step_cap * units - 1)]
+    # output position i (< nlen) = chunk[i % step, i // step]; raw tail
+    # after.  The re-stride is data movement by computed index either way;
+    # a single-operand packed sort beats the bulk gather ~2x on this
+    # platform (CLAUDE.md walls), so the combined path packs
+    # (dest_pos << 8 | byte) and sorts — chunk slot j = s*units + u maps
+    # to dest u*step + s, padding slots sort past out_cap and are masked.
+    if combined:
+        j = jnp.arange(step_cap * units, dtype=jnp.int32)
+        s_j = j // units
+        u_j = j - s_j * units
+        # sentinel (1<<24)-1: > any real dest (p < nlen < out_cap <= 2^24)
+        # and still 24 bits — `out_cap` itself overflows the u32 pack when
+        # out_cap == 2^24 exactly (sentinels then sorted FIRST, clobbering
+        # the head of the block; caught by the 2^23-boundary test)
+        p_j = jnp.where(s_j < step, u_j * step + s_j, (1 << 24) - 1)
+        packed = ((p_j.astype(jnp.uint32) << 8)
+                  | chunk.reshape(-1).astype(jnp.uint32))
+        body_bytes = (jax.lax.sort(packed) & 0xFF).astype(jnp.uint8)
+        body_bytes = body_bytes[:out_cap] if body_bytes.shape[0] >= out_cap \
+            else jnp.pad(body_bytes, (0, out_cap - body_bytes.shape[0]))
+    else:
+        s = jnp.where(step > 0, pos % jnp.maximum(step, 1), 0)
+        uu = jnp.where(step > 0, pos // jnp.maximum(step, 1), 0)
+        body_bytes = chunk.reshape(-1)[
+            jnp.clip(s * units + uu, 0, step_cap * units - 1)]
     out = jnp.where(pos < nlen, body_bytes,
                     jnp.where(pos < n, buf[jnp.clip(pos, 0, N - 1)], 0))
     return out.astype(jnp.uint8), jnp.maximum(n, 0), ok
