@@ -492,7 +492,10 @@ def lpx_dyn_core(buf: jnp.ndarray, n, out_cap: int, decode: bool,
     directly divides the lockstep walk length."""
     S = spans
     b = n // S
-    span_cap = out_cap // S + S + 4
+    # the tail span is < S long and a main span is <= out_cap//S long, so
+    # max of the two (+pad) bounds every row — the old sum form inflated
+    # every (S+1, span_cap) array (and the deal/undeal data movement) 1.5x
+    span_cap = max(out_cap // S, S) + 4
     tiny = b == 0
     starts = jnp.where(
         tiny,
@@ -505,19 +508,42 @@ def lpx_dyn_core(buf: jnp.ndarray, n, out_cap: int, decode: bool,
         jnp.concatenate([jnp.full(S, b, jnp.int32),
                          jnp.atleast_1d(n - S * b)]),
     )
-    jj = jnp.arange(span_cap, dtype=jnp.int32)
-    gidx = jnp.clip(starts[:, None] + jj[None, :], 0, buf.shape[0] - 1)
-    spans = jnp.where(jj[None, :] < lens[:, None], buf[gidx], 0)
+    # deal: source position i lives in span k = min(i//b, S) at column
+    # i - k*b — ONE n-indexed scatter into the padded (S+1, span_cap) grid
+    # (a target-indexed gather moves (S+1)*span_cap > n elements instead)
+    pos = jnp.arange(buf.shape[0], dtype=jnp.int32)
+    k = jnp.where(tiny, 0, jnp.minimum(pos // jnp.maximum(b, 1), S))
+    slot = jnp.where(pos < n, k * span_cap + (pos - k * starts[1]),
+                     (S + 1) * span_cap)
+    spans = jnp.zeros((S + 1) * span_cap + 1, buf.dtype).at[slot].set(
+        jnp.where(pos < n, buf, 0), mode="drop")[:-1].reshape(S + 1, span_cap)
     # traced loop bound: span_cap is a static capacity far above the actual
     # span length, which is what we actually have to walk
     bound = jnp.max(lens)
     outs = jax.vmap(
         lambda s, ln: _code_span(s, ln, span_cap, decode, steps=bound)
     )(spans, lens)
-    flat_pos = jnp.where(jj[None, :] < lens[:, None],
-                         starts[:, None] + jj[None, :], out_cap)
-    out = jnp.zeros(out_cap + 1, jnp.uint8).at[flat_pos.reshape(-1)].set(
-        outs.reshape(-1), mode="drop")[:out_cap]
+    # undeal: dest positions are compact [0, n) — pack (dest << 8 | byte)
+    # and sort (sort beats a scatter ~2x here); fall back to the scatter
+    # when out_cap exceeds the 24-bit pack range
+    jj = jnp.arange(span_cap, dtype=jnp.int32)
+    # strict <: n can equal out_cap here, and at out_cap == 2^24 the last
+    # real dest would collide with the sentinel
+    if out_cap < (1 << 24):
+        dest = jnp.where(jj[None, :] < lens[:, None],
+                         starts[:, None] + jj[None, :], (1 << 24) - 1)
+        packed = ((dest.reshape(-1).astype(jnp.uint32) << 8)
+                  | outs.reshape(-1).astype(jnp.uint32))
+        flat = (jax.lax.sort(packed) & 0xFF).astype(jnp.uint8)
+        out = flat[:out_cap] if flat.shape[0] >= out_cap else jnp.pad(
+            flat, (0, out_cap - flat.shape[0]))
+        # mask the sentinel region: only the first n entries are real
+        out = jnp.where(jnp.arange(out_cap) < n, out, 0)
+    else:
+        flat_pos = jnp.where(jj[None, :] < lens[:, None],
+                             starts[:, None] + jj[None, :], out_cap)
+        out = jnp.zeros(out_cap + 1, jnp.uint8).at[flat_pos.reshape(-1)].set(
+            outs.reshape(-1), mode="drop")[:out_cap]
     return out
 
 
