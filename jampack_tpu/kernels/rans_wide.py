@@ -4,28 +4,41 @@ decode_chunk_syms (rans_decode.py) decodes one chain with proper scalar
 control flow; under jax.vmap its lax.cond turns into a select, so the
 expensive quasi rescale body runs every step for every lane.  This kernel
 instead carries the lane dimension explicitly: all model banks get a
-leading L axis, symbol lookups are vectorized compares, and the quasi
-rescale hides behind ONE scalar predicate ("does any active lane rescale
-this step") so its cost is paid only on the steps that need it — early in
-a chunk while the update period is still doubling (model.cpp:160-204),
-then once per 64K quasi symbols per lane.
+leading L axis and the quasi rescale hides behind ONE scalar predicate
+("does any active lane rescale this step") so its cost is paid only on
+the steps that need it — early in a chunk while the update period is
+still doubling (model.cpp:160-204), then once per 64K quasi symbols per
+lane.
 
-Performance structure (measured on v5e):
-  * model banks are per-model-width — the 6 quasi alphabets are
-    [4,8,16,32,64,129], so carrying them at a shared 129-wide layout
-    tripled every step's VPU work;
-  * NO per-step gathers or scatters: model-row reads are masked
-    reductions over monotone CDF rows (lo = max cum <= rng, hi = min
-    cum > rng), model writes are k-way masked static-slice updates —
-    random gather/scatter at tens of thousands of lanes costs ~100 ms
-    per op on this platform;
+Performance structure (measured on v5e).  The step cost is dominated by
+streaming the per-lane model state and by the number of distinct fused
+kernels the loop body lowers to, so:
+
+  * ALL nine models (1 exponent + 2 adaptive-mantissa + 6 quasi, widths
+    8/2/2/4/8/16/32/64/129) live in ONE (L, 256) uint16 bank holding only
+    the INTERIOR cum entries (cum[0] = 0 and cum[alpha] = 2^16 are
+    constants) — half the memory traffic of the int32 per-model tuple,
+    and 256 = sum of interior widths exactly;
+  * the per-model (symbol, low, freq) lookups are segment sums over that
+    bank, computed by ONE MXU matmul per step: two f32 planes
+    (le*d for low; onehot*d + le*2^17 packing freq and the symbol index
+    into one integer-exact f32 word < 2^24) contracted with a static
+    (256, 9) segment-indicator matrix.  This replaces ~18 masked VPU
+    max/min/sum reductions (each a fusion barrier) with one dot;
+  * NO per-step gathers or scatters: random gather/scatter at tens of
+    thousands of lanes costs ~100 ms per op on this platform; everything
+    data-dependent is a masked elementwise select, and the only random
+    access is the per-lane payload-window fetch (inherent to the format);
   * the rescale's log search is a fori_loop (unrolled it dominated
     compile time).
 
 Bit-exact with rans_common / stages.models: int32 mixing shifts, the
-unsigned rescale stretch, truncating division, byte-renorm order.
-Lanes of unequal length freeze (no byte consumption, no model updates)
-once exhausted so their final-state invariant still holds.
+unsigned rescale stretch, truncating division, byte-renorm order.  The
+f32 plane sums are exact: every addend is an integer and every partial
+sum is <= 2^24 (low <= 65535; freq <= 65535 packed under index*2^17 with
+index <= 128, and the index-128 case has an all-false onehot, landing on
+exactly 2^24).  Lanes of unequal length freeze (no byte consumption, no
+model updates) once exhausted so their final-state invariant still holds.
 """
 
 from functools import partial
@@ -55,15 +68,45 @@ from .rans_common import (
 
 _NSW = MODEL_SWITCH_THRESHOLD  # 2 adaptive mantissa models
 
+# ---------------------------------------------------------------------------
+# Static bank layout: models in order [exp, ma0, ma1, q0..q5]; each segment
+# holds the interior cum entries cum[1..alpha-1] of its model.
 
-def _find_lo_hi(rows, rng):
-    """(m, lo, hi) on a monotone cum row batch without gathers:
-    m = count(cum <= rng) - 1, lo = max cum <= rng, hi = min cum > rng."""
-    le = rows <= rng[:, None]
-    m = jnp.sum(le, axis=1).astype(jnp.int32) - 1
-    lo = jnp.max(jnp.where(le, rows, jnp.int32(-1)), axis=1)
-    hi = jnp.min(jnp.where(le, jnp.int32(1 << 30), rows), axis=1)
-    return m, lo, hi
+_ALPHAS = [8, 2, 2] + [int(a) for a in QALPHAS]      # 9 model alphabets
+_WIDTHS = [a - 1 for a in _ALPHAS]                    # interior widths
+_BOFF = np.concatenate([[0], np.cumsum(_WIDTHS)])     # (10,) segment offsets
+_BCOLS = int(_BOFF[-1])                               # == 256
+assert _BCOLS == 256
+
+_SEG_ID = np.repeat(np.arange(9), _WIDTHS)            # (256,) col -> model
+_SEG_START = np.zeros(_BCOLS, bool)
+_SEG_START[_BOFF[:-1]] = True
+_IS_RNG1 = _SEG_ID == 0                               # exp model cols
+_SEG_MAT = np.zeros((_BCOLS, 9), np.float32)
+_SEG_MAT[np.arange(_BCOLS), _SEG_ID] = 1.0
+
+# quasi count space: per-model widths = alphas, total 253
+_QALPHA_L = [int(a) for a in QALPHAS]
+_QOFF = np.concatenate([[0], np.cumsum(_QALPHA_L)])
+_QCOLS = int(_QOFF[-1])
+
+_PACK = 1 << 17  # symbol-index packing stride in the freq plane
+
+
+def _init_bank_row() -> np.ndarray:
+    """(256,) uint16 initial interior-cum bank (ans.cpp:136-140 resets)."""
+    parts = [np.asarray(EXP_INIT[1:8])]
+    for k in range(_NSW):
+        parts.append(np.asarray(MANT_ADAPT_INIT[k][1:2]))
+    for k in range(NQ):
+        a = _QALPHA_L[k]
+        parts.append(np.asarray(QUASI_INIT_CUM[k, 1:a]))
+    row = np.concatenate(parts)
+    assert row.shape == (_BCOLS,) and row.min() > 0 and row.max() < PROB_SCALE
+    return row.astype(np.uint16)
+
+
+_BANK_INIT = _init_bank_row()
 
 
 @partial(jax.jit, static_argnames=("max_rlen", "groups"))
@@ -98,21 +141,16 @@ def decode_lanes_wide(buf: jnp.ndarray, starts: jnp.ndarray,
     R = R.astype(jnp.uint32)
     ptr = starts + 16
 
-    alphas = [int(a) for a in QALPHAS]  # (6,) static per-model widths
-    exp_cum = jnp.broadcast_to(jnp.asarray(EXP_INIT), (L, 9)).astype(jnp.int32)
-    ma_cum = jnp.broadcast_to(jnp.asarray(MANT_ADAPT_INIT), (L, _NSW, 3)).astype(jnp.int32)
-    qc = tuple(
-        jnp.broadcast_to(jnp.asarray(QUASI_INIT_CUM[k, : alphas[k] + 1]),
-                         (L, alphas[k] + 1)).astype(jnp.int32)
-        for k in range(NQ)
-    )
-    qf = tuple(jnp.zeros((L, alphas[k]), jnp.int32) for k in range(NQ))
+    bank = jnp.broadcast_to(jnp.asarray(_BANK_INIT), (L, _BCOLS))
+    qf = jnp.zeros((L, _QCOLS), jnp.int32)
     q_seen = jnp.zeros((L, NQ), dtype=jnp.int32)
     q_exp = jnp.full((L, NQ), 8, dtype=jnp.int32)
 
-    exp_mix = jnp.asarray(EXP_MIX)              # (8, 9)
-    ma_mix = jnp.asarray(MANT_ADAPT_MIX)        # (2, 2, 3)
-    exponent = jnp.asarray(EXPONENT.astype(np.int32))
+    exp_mix_i = jnp.asarray(EXP_MIX[:, 1:8])      # (8, 7) interior targets
+    ma_mix_i = jnp.asarray(MANT_ADAPT_MIX[:, :, 1])  # (2, 2) interior scalar
+    seg_mat = jnp.asarray(_SEG_MAT)
+    seg_start = jnp.asarray(_SEG_START)
+    is_rng1 = jnp.asarray(_IS_RNG1)
     if groups:
         assert L % groups == 0
         syms = jnp.zeros((groups, max_rlen, L // groups), dtype=jnp.uint16)
@@ -140,92 +178,124 @@ def decode_lanes_wide(buf: jnp.ndarray, starts: jnp.ndarray,
         )
 
     def body(i, carry):
-        (R, ptr, exp_cum, ma_cum, qc, qf, q_seen, q_exp, syms) = carry
+        (R, ptr, bank, qf, q_seen, q_exp, syms) = carry
         active = i < rlens
         w = win[ptr]  # the step's single payload gather
         kb = jnp.zeros_like(ptr)
 
-        # ---- exponent symbol (adaptive, alpha = 8)
-        x = R[:, 0]
-        rng = (x & mask16).astype(jnp.int32)
-        e, lo, hi = _find_lo_hi(exp_cum, rng)
-        x2 = advance(x, lo, hi - lo)
+        # ---- both comparands are known at step start: the exponent symbol
+        # uses state R0, the mantissa symbol uses (pre-rotation) state R1
+        rng1 = (R[:, 0] & mask16).astype(jnp.uint16)
+        rng2 = (R[:, 1] & mask16).astype(jnp.uint16)
+        rc = jnp.where(is_rng1[None, :], rng1[:, None], rng2[:, None])
+        le = bank <= rc                                     # (L, 256)
+        # within-segment diffs: d[j] = cum[j] - cum[j-1] (= freq[j-1] >= 1)
+        bshift = jnp.concatenate(
+            [jnp.zeros((L, 1), jnp.uint16), bank[:, :-1]], axis=1)
+        d = (bank - jnp.where(seg_start[None, :], jnp.uint16(0), bshift))
+        # onehot of cum[m+1] within the segment: le shifted right one col
+        # (True at segment starts) AND NOT le
+        le1 = jnp.concatenate(
+            [jnp.ones((L, 1), bool), le[:, :-1]], axis=1)
+        le1 = jnp.where(seg_start[None, :], True, le1)
+        oh_hi = le1 & ~le
+
+        df = d.astype(jnp.float32)
+        lef = le.astype(jnp.float32)
+        p_lo = lef * df
+        p_mf = oh_hi.astype(jnp.float32) * df + lef * jnp.float32(_PACK)
+        # ONE MXU contraction: (L, 2, 256) x (256, 9) -> per-model
+        # (low, packed index/freq) sums; every addend and partial sum is an
+        # integer <= 2^24, so f32 accumulation is exact
+        planes = jnp.stack([p_lo, p_mf], axis=1)
+        # HIGHEST precision: the TPU MXU's default f32 path multiplies in
+        # one bf16 pass, which is NOT exact for 17-bit integer operands;
+        # the 3-pass decomposition recovers exact f32 products
+        sums = jax.lax.dot_general(
+            planes, seg_mat, (((2,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)          # (L, 2, 9)
+        lo_all = sums[:, 0, :].astype(jnp.int32)
+        t_all = sums[:, 1, :].astype(jnp.int32)
+        m_all = t_all >> 17
+        fqp = t_all & jnp.int32(_PACK - 1)
+        # fqp == 0 <=> m == alpha-1 (freqs are >= 1): freq = 2^16 - low
+        fq_all = jnp.where(fqp == 0, PROB_SCALE - lo_all, fqp)
+
+        # ---- exponent symbol (model 0, rng1)
+        e = m_all[:, 0]
+        x2 = advance(R[:, 0], lo_all[:, 0], fq_all[:, 0])
         x2, kb = renorm(x2, w, kb, active)
-        # adaptive CDF mixing (interior entries only), frozen when inactive;
-        # 8-way select instead of exp_mix[e]: a (L,9) random gather per
-        # step costs more than 8 masked row selects at wide L
-        mix_rows = jnp.broadcast_to(exp_mix[0], (L, 9))
-        for kk in range(1, 8):
-            mix_rows = jnp.where((e == kk)[:, None], exp_mix[kk], mix_rows)
-        upd = exp_cum + ((mix_rows - exp_cum) >> RATE)
-        interior = (jnp.arange(9) > 0) & (jnp.arange(9) < 8)
-        exp_cum = jnp.where(active[:, None] & interior[None, :], upd, exp_cum)
         R = jnp.concatenate(
             [R[:, 1:], jnp.where(active, x2, R[:, 0])[:, None]], axis=1
         )
 
-        # ---- mantissa symbol
-        x = R[:, 0]
-        rng = (x & mask16).astype(jnp.int32)
+        # ---- mantissa symbol: select the active model's (m, lo, fq)
         is_adaptive = e < _NSW
         ei = jnp.clip(e, 0, _NSW - 1)
         qi = jnp.clip(e - _NSW, 0, NQ - 1)
-
-        ma_rows = jnp.where(
-            (ei == 0)[:, None], ma_cum[:, 0], ma_cum[:, 1]
-        )  # (L, 3)
-        m_a, lo_a, hi_a = _find_lo_hi(ma_rows, rng)
-        m_ks, lo_ks, hi_ks = [], [], []
-        for k in range(NQ):
-            mk, lok, hik = _find_lo_hi(qc[k], rng)
-            m_ks.append(mk)
-            lo_ks.append(lok)
-            hi_ks.append(hik)
-        m_q, lo_q, hi_q = m_ks[0], lo_ks[0], hi_ks[0]
-        for k in range(1, NQ):
-            sel = qi == k
-            m_q = jnp.where(sel, m_ks[k], m_q)
-            lo_q = jnp.where(sel, lo_ks[k], lo_q)
-            hi_q = jnp.where(sel, hi_ks[k], hi_q)
-        m = jnp.where(is_adaptive, m_a, m_q)
-        lo = jnp.where(is_adaptive, lo_a, lo_q)
-        fq = jnp.where(is_adaptive, hi_a - lo_a, hi_q - lo_q)
-        x2 = advance(x, lo, fq)
+        midx = jnp.where(is_adaptive, 1 + ei, 3 + qi)
+        m = m_all[:, 1]
+        lo = lo_all[:, 1]
+        fq = fq_all[:, 1]
+        for k in range(2, 9):
+            sel = midx == k
+            m = jnp.where(sel, m_all[:, k], m)
+            lo = jnp.where(sel, lo_all[:, k], lo)
+            fq = jnp.where(sel, fq_all[:, k], fq)
+        x2 = advance(R[:, 0], lo, fq)
         x2, kb = renorm(x2, w, kb, active)
         ptr = ptr + kb
         R = jnp.concatenate(
             [R[:, 1:], jnp.where(active, x2, R[:, 0])[:, None]], axis=1
         )
 
-        # ---- adaptive mantissa update (alpha = 2: interior entry is col 1)
-        a_upd = active & is_adaptive
-        m_a01 = jnp.clip(m_a, 0, 1)
-        mix_a = jnp.broadcast_to(ma_mix[0, 0], (L, 3))  # 4-way select
+        # ---- adaptive updates on the bank (int32 mixing arithmetic on the
+        # uint16 interior entries; results stay in (0, 2^16))
+        bi = bank.astype(jnp.int32)
+        # exponent model (cols 0..6): 8-way select of the interior target
+        mix_e = jnp.broadcast_to(exp_mix_i[0], (L, 7))
+        for kk in range(1, 8):
+            mix_e = jnp.where((e == kk)[:, None], exp_mix_i[kk], mix_e)
+        upd_e = bi[:, :7] + ((mix_e - bi[:, :7]) >> RATE)
+        # adaptive mantissa (cols 7, 8): single interior entry per model;
+        # 4-way select of the scalar target
+        m01 = jnp.clip(m, 0, 1)
+        mix_a = jnp.full((L,), int(MANT_ADAPT_MIX[0, 0, 1]), jnp.int32)
         for ii in range(2):
             for jj in range(2):
                 if ii == 0 and jj == 0:
                     continue
-                mix_a = jnp.where(((ei == ii) & (m_a01 == jj))[:, None],
-                                  ma_mix[ii, jj], mix_a)
-        new_rows = ma_rows + ((mix_a - ma_rows) >> RATE)
-        interior3 = (jnp.arange(3) == 1)
-        new_rows = jnp.where(interior3[None, :], new_rows, ma_rows)
-        new_rows = jnp.where(a_upd[:, None], new_rows, ma_rows)
-        ma_cum = jnp.stack(
-            [jnp.where((a_upd & (ei == k))[:, None], new_rows, ma_cum[:, k])
-             for k in range(_NSW)], axis=1)
+                mix_a = jnp.where((ei == ii) & (m01 == jj),
+                                  ma_mix_i[ii, jj], mix_a)
+        a_upd = active & is_adaptive
+        ma_cols = bi[:, 7:9]
+        upd_a = ma_cols + ((mix_a[:, None] - ma_cols) >> RATE)
+        ma_mask = jnp.stack([a_upd & (ei == 0), a_upd & (ei == 1)], axis=1)
+        new_head = jnp.concatenate(
+            [jnp.where(active[:, None], upd_e, bi[:, :7]),
+             jnp.where(ma_mask, upd_a, ma_cols)], axis=1)
+        bank = jnp.concatenate(
+            [new_head.astype(jnp.uint16), bank[:, 9:]], axis=1)
 
-        # ---- quasi mantissa count/seen updates (masked adds per model)
+        # ---- quasi count/seen updates.  The count one-hot in symbol space
+        # is derived from le: onehot[j] = le_ext[j] & ~le_ext[j+1] with
+        # le_ext = [True, le_segment, False] — all static slices/concat.
         q_upd = active & jnp.logical_not(is_adaptive)
-        qf = tuple(
-            qf[k]
-            + jnp.where(
-                (q_upd & (qi == k))[:, None]
-                & (jnp.arange(alphas[k])[None, :] == m_ks[k][:, None]),
-                jnp.int32(PROB_BITS), 0)
-            for k in range(NQ)
-        )
-        q_hit = (nq_col == qi[:, None]) & q_upd[:, None]  # (L, NQ)
+        qsel_cols, oh_cnt_parts = [], []
+        for k in range(NQ):
+            a = _QALPHA_L[k]
+            b0 = int(_BOFF[3 + k])
+            seg = le[:, b0:b0 + a - 1]
+            ext_l = jnp.concatenate([jnp.ones((L, 1), bool), seg], axis=1)
+            ext_r = jnp.concatenate([seg, jnp.zeros((L, 1), bool)], axis=1)
+            oh_cnt_parts.append(ext_l & ~ext_r)
+            qsel_cols.append(jnp.broadcast_to(
+                (q_upd & (qi == k))[:, None], (L, a)))
+        oh_cnt = jnp.concatenate(oh_cnt_parts, axis=1)       # (L, 253)
+        qsel = jnp.concatenate(qsel_cols, axis=1)            # (L, 253)
+        qf = qf + jnp.where(oh_cnt & qsel, jnp.int32(PROB_BITS), 0)
+        q_hit = (nq_col == qi[:, None]) & q_upd[:, None]     # (L, NQ)
         q_seen = q_seen + q_hit.astype(jnp.int32)
         seen_row = jnp.sum(jnp.where(q_hit, q_seen, 0), axis=1)
         exp_row = jnp.sum(jnp.where(q_hit, q_exp, 0), axis=1)
@@ -234,11 +304,12 @@ def decode_lanes_wide(buf: jnp.ndarray, starts: jnp.ndarray,
         pred = q_upd & (seen_row > exp_row)
 
         def rescale(args):
-            qc, qf, q_seen, q_exp = args
-            new_qc, new_qf = [], []
+            bank, qf, q_seen, q_exp = args
+            new_bank_segs, new_qf_segs = [], []
             for k in range(NQ):
-                alpha = alphas[k]
-                qfk = qf[k]                                 # (L, alpha)
+                alpha = _QALPHA_L[k]
+                c0 = int(_QOFF[k])
+                qfk = qf[:, c0:c0 + alpha]                  # (L, alpha)
                 total = jnp.sum(qfk, axis=1)
                 # smallest log with (total>>log)+alpha <= 2^16; fori keeps
                 # the traced body small
@@ -255,21 +326,25 @@ def decode_lanes_wide(buf: jnp.ndarray, starts: jnp.ndarray,
                 q = (prod // t2[:, None].astype(jnp.uint32)).astype(jnp.int32)
                 fix = PROB_SCALE - jnp.sum(q, axis=1)
                 q = q.at[:, 0].add(fix)
-                cum = jnp.concatenate(
-                    [jnp.zeros((L, 1), jnp.int32), jnp.cumsum(q, axis=1)],
-                    axis=1)
+                cum = jnp.cumsum(q[:, :alpha - 1], axis=1)  # interior only
                 rowm = (pred & (qi == k))[:, None]
-                new_qc.append(jnp.where(rowm, cum, qc[k]))
-                new_qf.append(jnp.where(rowm, 0, qfk))
+                b0 = int(_BOFF[3 + k])
+                old = bank[:, b0:b0 + alpha - 1]
+                new_bank_segs.append(
+                    jnp.where(rowm, cum.astype(jnp.uint16), old))
+                new_qf_segs.append(jnp.where(rowm, 0, qfk))
+            nb = jnp.concatenate(
+                [bank[:, :int(_BOFF[3])]] + new_bank_segs, axis=1)
+            nqf = jnp.concatenate(new_qf_segs, axis=1)
             resc_hit = (nq_col == qi[:, None]) & pred[:, None]  # (L, NQ)
             q_seen = jnp.where(resc_hit, 0, q_seen)
             new_exp = jnp.where(q_exp < UPDATE_RATE, q_exp << 1, UPDATE_RATE)
             q_exp = jnp.where(resc_hit, new_exp, q_exp)
-            return tuple(new_qc), tuple(new_qf), q_seen, q_exp
+            return nb, nqf, q_seen, q_exp
 
-        qc, qf, q_seen, q_exp = jax.lax.cond(
+        bank, qf, q_seen, q_exp = jax.lax.cond(
             jnp.any(pred), rescale, lambda a: a,
-            (qc, qf, q_seen, q_exp),
+            (bank, qf, q_seen, q_exp),
         )
 
         base = jnp.zeros_like(e)  # 8-way select of EXPONENT[e]
@@ -283,9 +358,9 @@ def decode_lanes_wide(buf: jnp.ndarray, starts: jnp.ndarray,
             syms = syms.at[:, i, :].set(sym.reshape(groups, L // groups))
         else:
             syms = syms.at[:, i].set(sym)
-        return (R, ptr, exp_cum, ma_cum, qc, qf, q_seen, q_exp, syms)
+        return (R, ptr, bank, qf, q_seen, q_exp, syms)
 
-    init = (R, ptr, exp_cum, ma_cum, qc, qf, q_seen, q_exp, syms)
+    init = (R, ptr, bank, qf, q_seen, q_exp, syms)
     # traced bound: max_rlen is only the (bucketed) output width, so shape
     # padding costs zero loop steps and compile variants stay bounded
     steps = jnp.minimum(jnp.maximum(jnp.max(rlens), 0), max_rlen)
