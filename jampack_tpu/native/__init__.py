@@ -117,7 +117,7 @@ def ans_encode(data, chunk: int = 0, lanes: int = 0) -> np.ndarray:
         raise ValueError("model failure (CDF): chunk not encodable in ref-compat mode")
     if n < 0:
         raise ValueError("ans encode out of space")
-    return out[:n].copy()
+    return out[:n]  # view: stage results are consumed read-only
 
 
 def ans_decode(data, cap: int, threads: int = 0, lanes: int = 0) -> np.ndarray:
@@ -126,7 +126,7 @@ def ans_decode(data, cap: int, threads: int = 0, lanes: int = 0) -> np.ndarray:
     n = _lib.jam_ans_decode(a, a.size, out, cap, threads, lanes)
     if n < 0:
         raise ValueError("invalid rANS state or corrupt chunk header")
-    return out[:n].copy()
+    return out[:n]  # view: stage results are consumed read-only
 
 
 def lpx_encode(data, threads: int = 0, spans: int = 4) -> np.ndarray:
@@ -148,7 +148,7 @@ def filters_encode(data, mode: int = 1, threads: int = 0) -> np.ndarray:
     nchunks = (a.size + (64 << 10) - 1) // (64 << 10)
     out = np.empty(a.size + 2 * max(nchunks, 1), dtype=np.uint8)
     n = _lib.jam_filters_encode(a, a.size, out, mode, threads)
-    return out[:n].copy()
+    return out[:n]  # view: stage results are consumed read-only
 
 
 def filters_decode(data) -> np.ndarray:
@@ -157,7 +157,7 @@ def filters_decode(data) -> np.ndarray:
     n = _lib.jam_filters_decode(a, a.size, out)
     if n < 0:
         raise ValueError("unsupported filter configuration")
-    return out[:n].copy()
+    return out[:n]  # view: stage results are consumed read-only
 
 
 def lz_encode(data, mode: int = 0) -> np.ndarray:
@@ -165,7 +165,7 @@ def lz_encode(data, mode: int = 0) -> np.ndarray:
     # worst case: tokens never accepted -> end marker + raw data + headroom
     out = np.empty(a.size + (a.size >> 3) + 64, dtype=np.uint8)
     n = _lib.jam_lz_encode(a, a.size, out, mode)
-    return out[:n].copy()
+    return out[:n]  # view: stage results are consumed read-only
 
 
 def lz_decode(data, cap: int) -> np.ndarray:
@@ -174,4 +174,4 @@ def lz_decode(data, cap: int) -> np.ndarray:
     n = _lib.jam_lz_decode(a, a.size, out, cap)
     if n < 0:
         raise ValueError("invalid lz77 token stream")
-    return out[:n].copy()
+    return out[:n]  # view: stage results are consumed read-only

@@ -4,6 +4,10 @@
 // implementation organized around flat state structs instead of classes.
 #include <omp.h>
 
+#if defined(__AVX512BW__)
+#include <immintrin.h>
+#endif
+
 #include "jn_common.hpp"
 
 namespace jpt {
@@ -59,7 +63,16 @@ struct Adaptive {
   }
   inline void update(int sym) {
     const i32* row = &mix[size_t(sym) * (alpha + 1)];
-    for (int i = 1; i < alpha; i++) cum[i] += (row[i] - cum[i]) >> kRate;
+    // fixed-trip-count bodies for the two alphabets in use (exponent model
+    // alpha=8, adaptive mantissa alpha=2) so the mixing loop vectorizes;
+    // the generic loop's runtime bound kept it scalar
+    if (alpha == 8) {
+      for (int i = 1; i < 8; i++) cum[i] += (row[i] - cum[i]) >> kRate;
+    } else if (alpha == 2) {
+      cum[1] += (row[1] - cum[1]) >> kRate;
+    } else {
+      for (int i = 1; i < alpha; i++) cum[i] += (row[i] - cum[i]) >> kRate;
+    }
   }
   inline int range_to_sym(u32 r) const {
     int i = 0;
@@ -139,12 +152,12 @@ static void sorted_map(const i32* freq, u8* out_map, int* out_n) {
 
 void rank_encode(u8* t, i32* freq, i32 len) {
   memset(freq, 0, 256 * sizeof(i32));
-  u8 s2r[256];
-  memset(s2r, 0xFF, sizeof(s2r));  // unseen symbols: 255 never moves
+  u8 r2s[256];  // MTF list in rank order, seeded by first occurrence
+  memset(r2s, 0, sizeof(r2s));
   int unique = 0;
   for (i32 i = 0; i < len; i++) {
     u8 sym = t[i];
-    if (freq[sym]++ == 0) s2r[sym] = u8(unique++);
+    if (freq[sym]++ == 0) r2s[unique++] = sym;
   }
   u8 smap[256];
   int nsyms;
@@ -155,21 +168,43 @@ void rank_encode(u8* t, i32* freq, i32 len) {
     pos += freq[smap[i]];
   }
   std::vector<u8> out(len);
+  // MTF on the dense rank->symbol list.  BWT output averages rank ~15, so
+  // the textbook two-table shift is O(rank) DEPENDENT scalar stores — the
+  // single hottest loop of the whole encoder.  One 64-wide compare finds
+  // the rank and one masked store does the shift whenever rank < 64 (the
+  // overwhelming majority); entries at or above `unique` are never the
+  // first match because every scanned symbol already occurs below it.
+#if defined(__AVX512BW__)
   for (i32 i = 0; i < len; i++) {
     u8 sym = t[i];
-    u8 rank = s2r[sym];
+    __m512i v = _mm512_loadu_si512(r2s);
+    uint64_t m = _mm512_cmpeq_epi8_mask(v, _mm512_set1_epi8(char(sym)));
+    u8 rank;
+    if (__builtin_expect(m != 0, 1)) {
+      rank = u8(_tzcnt_u64(m));
+      _mm512_mask_storeu_epi8(r2s + 1, _bzhi_u64(~0ull, rank), v);
+      r2s[0] = sym;
+    } else {
+      int r = 64;
+      while (r2s[r] != sym) r++;
+      rank = u8(r);
+      memmove(r2s + 1, r2s, size_t(r));
+      r2s[0] = sym;
+    }
     out[bucket[sym]++] = rank;
-    if (rank > 0) {
-      // MTF as a rank remap: every symbol ranked below the hit moves down
-      // one, the hit moves to front.  One branchless pass over the 256-byte
-      // rank table auto-vectorizes to ~8 SIMD ops, where the textbook
-      // two-table shift is O(rank) DEPENDENT scalar stores — the BWT
-      // output's average rank here is ~15, making that shift the single
-      // hottest loop of the whole encoder.
-      for (int x = 0; x < 256; x++) s2r[x] += (s2r[x] < rank);
-      s2r[sym] = 0;
+  }
+#else
+  for (i32 i = 0; i < len; i++) {
+    u8 sym = t[i];
+    int r = 0;
+    while (r2s[r] != sym) r++;
+    out[bucket[sym]++] = u8(r);
+    if (r > 0) {
+      memmove(r2s + 1, r2s, size_t(r));
+      r2s[0] = sym;
     }
   }
+#endif
   memcpy(t, out.data(), len);
 }
 
@@ -198,7 +233,18 @@ bool rank_decode(u8* ranks, const i32* freq, i32 len) {
     if (bucket[sym] < bucket_end[sym]) {
       u8 rank = ranks[bucket[sym]++];
       if (rank > 0) {
-        memmove(r2s, r2s + 1, rank);  // SIMD shift vs the serial byte walk
+        // shift ranks [1, rank] down one: a masked 64-wide store beats the
+        // memmove call's size dispatch at the ~15-byte average
+#if defined(__AVX512BW__)
+        if (__builtin_expect(rank <= 64, 1)) {
+          __m512i v = _mm512_loadu_si512(r2s + 1);
+          _mm512_mask_storeu_epi8(r2s, _bzhi_u64(~0ull, rank), v);
+        } else {
+          memmove(r2s, r2s + 1, rank);
+        }
+#else
+        memmove(r2s, r2s + 1, rank);
+#endif
         r2s[rank] = sym;
         sym = r2s[0];
       }
@@ -259,11 +305,21 @@ bool rle0_decode(const u16* in, i32 len, u8* out, i32 real_len) {
 static inline void renc_put(u32* r, u8** pp, u32 start, u32 freq, u32 bits) {
   u32 x = *r;
   u32 x_max = ((kRansL >> bits) << 8) * freq;
-  while (x >= x_max) {
-    *--(*pp) = u8(x & 0xFF);
-    x >>= 8;
-  }
-  *r = ((x / freq) << bits) + (x % freq) + start;
+  // Renorm emits 0..2 bytes (x < 2^31 and x_max >= 2^15 bound the shift):
+  // write both candidate bytes unconditionally, then bump the pointer by
+  // the real count — the data-dependent while loop mispredicts ~per op.
+  u32 nb = u32(x >= x_max) + u32((x >> 8) >= x_max);
+  u8* p = *pp;
+  p[-1] = u8(x);
+  p[-2] = u8(x >> 8);
+  *pp = p - nb;
+  x >>= 8 * nb;
+  // Exact u32/u16 quotient via f64: operands are exact, the true quotient's
+  // fractional part is 0 or >= 2^-16, and the rounding error at <= 2^31 is
+  // <= 2^-22 — so truncation can't cross an integer.  f64 divide has ~half
+  // the latency of the integer divider on the critical 4-state chain.
+  u32 q = u32(double(x) / double(freq));
+  *r = (q << bits) + (x - q * freq) + start;
 }
 
 static inline void renc_flush(u32 r, u8** pp) {

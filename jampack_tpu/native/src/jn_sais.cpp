@@ -48,7 +48,8 @@ void sais_core(const Char* T, i32* SA, i32 n, i32 K) {
   // NEXT few SA slots are already known (sequential read, and slots ahead
   // written earlier in the same pass stay visible), so prefetching
   // ts[SA[i+PD]-1] hides most of that latency.
-  constexpr i32 PD = 16;
+  constexpr i32 PD = 32;  // measured sweep 16/32/64/96: 32 is ~7% faster
+                          // than 16 on 8 MB text (DRAM latency ~ 30 iters)
   auto induce = [&] {
     // L-pass: seed with the predecessor of the sentinel suffix
     reset_heads();

@@ -236,7 +236,10 @@ static double entropy_o0(const u8* p, i32 len) {
 }
 
 static double entropy_o1(const u8* p, i32 len) {
-  std::vector<i64> freqs(256 * 256, 0);
+  // the 512 KB joint table is reused across calls and re-zeroed only on
+  // rows that were touched (rows j with total[j] > 0) — allocating and
+  // zeroing it per 64 KB chunk dominated the -f1 sweep
+  static thread_local std::vector<i64> freqs(256 * 256, 0);
   i64 total[256] = {0};
   int j = 0;
   for (i32 i = 0; i < len; i++) {
@@ -252,6 +255,7 @@ static double entropy_o1(const u8* p, i32 len) {
       if (!f) continue;
       e += ent_term(f, total[j]);
     }
+    memset(&freqs[j * 256], 0, 256 * sizeof(i64));
   }
   return e / double(len);
 }
@@ -266,7 +270,7 @@ static double entropy_sorted(const u8* p, i32 len) {
   for (i32 i = 0; i < len; i++) bucket[p[i] + 1]++;
   for (i32 i = 1; i < 256; ++i) bucket[i] += bucket[i - 1];
   for (i32 i = 0; i < len; i++)
-    sbuf[bucket[p[i]]++] = p[(i - 1 + len) % len];
+    sbuf[bucket[p[i]]++] = p[i ? i - 1 : len - 1];  // no per-byte modulo
   return entropy_o1(sbuf.data(), len);
 }
 
@@ -363,13 +367,16 @@ static i64 encode(const u8* in, i64 n, u8* out, int mode, int threads) {
       }
     } else if (mode == 1) {
       double pconfig = 8.0f;
+      // sections 2 and 4 both need the stride; compute it once up front
+      // (identical inputs -> identical result, so scores are unchanged)
+      const int stride_ch = find_stride(in + i, len);
 #pragma omp parallel sections num_threads(threads > 0 ? threads : omp_get_max_threads())
       {
 #pragma omp section
         { scores[0][0] = entropy_sorted(in + i, len); }
 #pragma omp section
         {
-          int ch = find_stride(in + i, len);
+          int ch = stride_ch;
           if (ch > 0) {
             std::vector<u8> d(kFilterChunk);
             reorder(in + i, d.data(), ch, len);
@@ -389,7 +396,7 @@ static i64 encode(const u8* in, i64 n, u8* out, int mode, int threads) {
         }
 #pragma omp section
         {
-          int ch = find_stride(in + i, len);
+          int ch = stride_ch;
           if (ch > 0) {
             std::vector<u8> b(kFilterChunk);
             inline_delta(in + i, b.data(), ch, len);
