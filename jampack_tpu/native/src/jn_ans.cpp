@@ -4,7 +4,7 @@
 // implementation organized around flat state structs instead of classes.
 #include <omp.h>
 
-#if defined(__AVX512BW__)
+#if defined(__AVX2__)
 #include <immintrin.h>
 #endif
 
@@ -75,6 +75,19 @@ struct Adaptive {
     }
   }
   inline int range_to_sym(u32 r) const {
+    // cum is monotone with cum[0] = 0 <= r < cum[alpha] = 2^16, so the
+    // answer is the first k in [1, alpha] with cum[k] > r, minus one —
+    // identical to the linear scan, including on empty intervals
+#if defined(__AVX2__)
+    if (alpha == 8) {
+      __m256i c = _mm256_loadu_si256((const __m256i*)&cum[1]);
+      __m256i rv = _mm256_set1_epi32(int(r));
+      u32 gt = u32(_mm256_movemask_ps(
+          _mm256_castsi256_ps(_mm256_cmpgt_epi32(c, rv))));
+      return __builtin_ctz(gt | 0x80u);  // bit 7 (cum[8] = 2^16) always set
+    }
+#endif
+    if (alpha == 2) return int(r >= u32(cum[1]));
     int i = 0;
     while (!(u32(cum[i]) <= r && r < u32(cum[i + 1]))) i++;
     return i;
@@ -343,8 +356,23 @@ static inline u32 rdec_advance(u32 x, const u8** pp, const u8* end, u32 start,
                                u32 freq, u32 bits) {
   u32 mask = (1u << bits) - 1;
   x = freq * (x >> bits) + (x & mask) - start;
-  // corrupt streams must not renormalize past the chunk payload
-  while (x < kRansL && *pp < end) x = (x << 8) | *(*pp)++;
+  const u8* p = *pp;
+  if (__builtin_expect(end - p >= 2, 1)) {
+    // refill is 0..2 bytes (kRansL = 2^23, byte renorm): branchless count +
+    // one 16-bit big-endian window replaces the mispredicting while loop
+    u32 n = u32(x < kRansL) + u32(x < (kRansL >> 8));
+    u32 w = (u32(p[0]) << 8) | p[1];
+    x = (x << (8 * n)) | (w >> (16 - 8 * n));
+    *pp = p + n;
+    // valid streams refill <= 2 bytes (encode emits <= 2); only corrupt
+    // data can still be low here — keep the byte loop so corrupt-stream
+    // behavior is identical to the original
+    if (__builtin_expect(x < kRansL, 0))
+      while (x < kRansL && *pp < end) x = (x << 8) | *(*pp)++;
+  } else {
+    // corrupt/short streams must not renormalize past the chunk payload
+    while (x < kRansL && *pp < end) x = (x << 8) | *(*pp)++;
+  }
   return x;
 }
 
