@@ -170,28 +170,29 @@ def rank_decode_core(ranks: jnp.ndarray, freqs: jnp.ndarray,
         r2s, bucket, unique, sym, out = carry
         active = i < olens
         out = out.at[:, i].set(jnp.where(active, sym, out[:, i]))
-        sym32 = sym.astype(jnp.int32)
-        cur = bucket[l_idx, sym32]
-        end = bucket_end[l_idx, sym32]
+        # NO per-step gathers or scatters (measured pattern from the wide
+        # rANS kernel: a (L,) random gather/scatter costs more than a
+        # (L, 256) masked pass at wide L): the per-symbol bucket reads are
+        # one-hot reductions, the bucket advance is a masked add, and the
+        # r2s MTF shift + front insert is one fused select chain.
+        oh = cols[None, :] == sym.astype(jnp.int32)[:, None]  # (L, 256)
+        cur = jnp.sum(jnp.where(oh, bucket, 0), axis=1)
+        end = jnp.sum(jnp.where(oh, bucket_end, 0), axis=1)
         has = active & (cur < end)
         rank = ranks[l_idx, jnp.clip(cur, 0, OCAP - 1)].astype(jnp.int32)
-        # branch A: bucket has a next rank
+        # branch A: bucket has a next rank; branch B: bucket exhausted ->
+        # retire the symbol (rank.cpp:133-148)
         do_mtf = has & (rank > 0)
-        shifted = jnp.concatenate([r2s[:, 1:], r2s[:, -1:]], axis=1)
-        new_r2s_a = jnp.where(cols[None, :] < rank[:, None], shifted, r2s)
-        new_r2s_a = new_r2s_a.at[l_idx, jnp.clip(rank, 0, 255)].set(
-            jnp.where(do_mtf, sym, new_r2s_a[l_idx, jnp.clip(rank, 0, 255)])
-        )
-        # branch B: bucket exhausted -> retire the symbol (rank.cpp:133-148)
         fall = active & ~has & (unique > 0)
         new_unique = jnp.where(fall, unique - 1, unique)
         m = jnp.maximum(1, new_unique)  # do-while: at least one shift
-        new_r2s_b = jnp.where(cols[None, :] < m[:, None], shifted, r2s)
-
-        r2s = jnp.where(
-            do_mtf[:, None], new_r2s_a, jnp.where(fall[:, None], new_r2s_b, r2s)
-        )
-        bucket = bucket.at[l_idx, sym32].set(jnp.where(has, cur + 1, cur))
+        shifted = jnp.concatenate([r2s[:, 1:], r2s[:, -1:]], axis=1)
+        shift_mask = jnp.where(do_mtf[:, None], cols[None, :] < rank[:, None],
+                               fall[:, None] & (cols[None, :] < m[:, None]))
+        set_mask = do_mtf[:, None] & (cols[None, :] == rank[:, None])
+        r2s = jnp.where(set_mask, sym[:, None],
+                        jnp.where(shift_mask, shifted, r2s))
+        bucket = bucket + jnp.where(oh & has[:, None], 1, 0)
         new_sym = jnp.where(do_mtf | fall, r2s[:, 0], sym)
         return r2s, bucket, new_unique, new_sym, out
 
