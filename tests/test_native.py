@@ -188,3 +188,21 @@ def test_native_bwt_inverse_bad_anchors_rejected():
     bad[-480:] = 0xFF  # absurd anchor block
     with pytest.raises(ValueError):
         native.bwt_inverse(bad, 0, 120)
+
+
+def test_native_ans_truncated_payload_tail_fails_cleanly():
+    """Chunks whose rANS payload is cut to within 2 bytes of the end
+    exercise the refill fallback (rdec_advance's fast path needs >= 2
+    bytes); every truncation point must fail cleanly, never crash."""
+    from jampack_tpu import native
+
+    data = (np.arange(5000, dtype=np.int32) % 37).astype(np.uint8)
+    blob = np.asarray(native.ans_encode(data), dtype=np.uint8)
+    for cut in range(1, 40):
+        trunc = blob[: blob.size - cut]
+        try:
+            out = native.ans_decode(trunc, 1 << 20, 0, 0)
+            # a shorter prefix may parse as zero complete chunks
+            assert out.size < data.size
+        except ValueError:
+            pass
