@@ -71,13 +71,23 @@ int64_t jam_bwt_inverse_u(const uint8_t* in, int64_t csize, uint8_t* out,
   for (int j = 0; j < units; j++)
     if (anchors[j] < 1 || i64(anchors[j]) > nlen) return -1;
   i32 idx = anchors[0];
-  // LF map: counting sort of BWT positions by symbol with +1 adjustment
+  // LF map: counting sort of BWT positions by symbol with +1 adjustment.
+  // The scatter store is the miss: prefetching &map[count[in[i+D]]] with
+  // TODAY's counter lands within D entries of the future slot — same cache
+  // line almost always — which hides most of the store-miss latency.
   std::vector<i32> map(nlen);
   i64 count[257] = {0};
   for (i64 i = 0; i < nlen; i++) count[in[i] + 1]++;
   for (int i = 1; i < 256; i++) count[i] += count[i - 1];
-  for (i64 i = 0; i < idx; i++) map[count[in[i]]++] = i32(i);
-  for (i64 i = idx; i < nlen; i++) map[count[in[i]]++] = i32(i + 1);
+  constexpr i64 kMD = 24;
+  for (i64 i = 0; i < idx; i++) {
+    if (i + kMD < idx) __builtin_prefetch(&map[count[in[i + kMD]]], 1);
+    map[count[in[i]]++] = i32(i);
+  }
+  for (i64 i = idx; i < nlen; i++) {
+    if (i + kMD < nlen) __builtin_prefetch(&map[count[in[i + kMD]]], 1);
+    map[count[in[i]]++] = i32(i + 1);
+  }
 
   i64 step = nlen / units;
   std::vector<i32> p(anchors);
@@ -90,6 +100,12 @@ int64_t jam_bwt_inverse_u(const uint8_t* in, int64_t csize, uint8_t* out,
 
 #pragma omp parallel for num_threads(nthreads)
   for (int t = 0; t < nthreads; t++) {
+    // two passes per step: pass 1 advances every chain and prefetches both
+    // this step's in[] byte and the NEXT step's map[] entry, pass 2 emits.
+    // The chase is two dependent cache misses per byte; giving each load a
+    // full chain-sweep of lead time keeps the miss buffers saturated where
+    // the fused loop ran ~5 misses deep.
+    std::vector<i32> pjs(per);
     for (i64 i = 0; i < step; i++) {
       for (int j = t * per; j < (t + 1) * per; j++) {
         // clamp the chase index so corrupt interior map values cannot read
@@ -99,7 +115,16 @@ int64_t jam_bwt_inverse_u(const uint8_t* in, int64_t csize, uint8_t* out,
         if (q >= u32(nlen)) q = 0;
         i32 pj = map[q];
         p[j] = pj;
-        out[i + i64(j) * step] = in[pj - (pj >= idx)];
+        pjs[j - t * per] = pj;
+        u32 qn = u32(pj) - 1;
+        if (qn >= u32(nlen)) qn = 0;
+        __builtin_prefetch(&map[qn]);
+        __builtin_prefetch(&in[pj - (pj >= idx)]);
+      }
+      u8* orow = out + i;
+      for (int j = t * per; j < (t + 1) * per; j++) {
+        i32 pj = pjs[j - t * per];
+        orow[i64(j) * step] = in[pj - (pj >= idx)];
       }
     }
   }
