@@ -83,12 +83,16 @@ void sais_core(const Char* T, i32* SA, i32 n, i32 K) {
     }
   };
 
-  // 1) place LMS suffixes at bucket tails (arbitrary order), induce once
+  // 1) place LMS suffixes at bucket tails (arbitrary order), induce once;
+  // collect text-order LMS positions here too (step 3 reuses them, saving
+  // a second full is_lms pass over ts)
   std::fill(SA, SA + n, -1);
   reset_tails();
-  i32 n_lms = 0;
+  std::vector<i32> lms_pos;
+  lms_pos.reserve(n / 3 + 1);
   for (i32 i = 1; i < n; i++)
-    if (is_lms(i)) { SA[--tail[T[i]]] = i; n_lms++; }
+    if (is_lms(i)) { SA[--tail[T[i]]] = i; lms_pos.push_back(i); }
+  i32 n_lms = i32(lms_pos.size());
   induce();
 
   // 2) compact sorted LMS suffixes, name LMS substrings.  Adjacent LMS
@@ -132,11 +136,6 @@ void sais_core(const Char* T, i32* SA, i32 n, i32 K) {
 
   // 3) build the reduced string in text order; recurse if names repeat.
   // u16 names halve the recursion's memory traffic when they fit.
-  std::vector<i32> lms_pos;
-  lms_pos.reserve(n_lms);
-  for (i32 i = 1; i < n; i++)
-    if (is_lms(i)) lms_pos.push_back(i);
-
   std::vector<i32> lms_order(n_lms);
   if (names < n_lms) {
     std::vector<i32> sub_sa(n_lms);
