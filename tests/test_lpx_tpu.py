@@ -33,3 +33,21 @@ def test_lpx_tpu_decode_matches_spec(idx):
     enc = lpx_encode(data)
     assert np.array_equal(lpx_decode_tpu(enc), lpx_decode(enc))
     assert np.array_equal(lpx_decode_tpu(enc), data)
+
+
+@pytest.mark.parametrize("idx", [2, 3, 5, 6])
+@pytest.mark.parametrize("decode", [False, True])
+def test_lpx_packed_span_matches_wide(idx, decode):
+    """The packed-record span walk (spans < 2^15 bytes) is bit-identical to
+    the unpacked variant — keeps the wide path covered now that every
+    small-span call dispatches to the packed one."""
+    import jax.numpy as jnp
+
+    from jampack_tpu.kernels.lpx_tpu import _code_span_packed, _code_span_wide
+
+    data = list(lpx_inputs())[idx]
+    n = data.size
+    d = jnp.asarray(data)
+    w = np.asarray(_code_span_wide(d, jnp.int32(n), n, decode))
+    p = np.asarray(_code_span_packed(d, jnp.int32(n), n, decode))
+    assert np.array_equal(w, p)
