@@ -4,7 +4,8 @@
     python -m jampack_tpu.cli i archive          (dump block headers)
 
 Flags (main.cpp:65-89 semantics): -b block size in MB (1..1000), -m match
-finder (0 dedupe / 1 hash chain / 2 suffix array), -f filters (0 off /
+finder (0 dedupe / 1 hash chain / 2 suffix array / 3 store: both LZ stages
+off — framework extension, archives stay reference-decodable), -f filters (0 off /
 1 heuristic / 2 brute force / 3 TPU device search), -t threads, -T
 single-block low-memory decode.
 Extra: --engine numpy|native|tpu|hybrid (default native); JTX/JT3 stream
@@ -130,7 +131,9 @@ def _parse(argv):
 
                     opt.lpx_spans = validate_lpx_spans(int(num))
                 elif c == "m" and num:
-                    opt.match_finder = int(num)
+                    from .runtime.pipeline import validate_match_finder
+
+                    opt.match_finder = validate_match_finder(int(num))
                 elif c == "f" and num:
                     opt.filters = int(num)
                 elif c == "t" and num:

@@ -30,6 +30,12 @@ class NativeEngine(Engine):
         return self._n.checksum(data)
 
     def lz_encode(self, data, mode: int):
+        from .pipeline import LZ_MODE_STORE
+
+        if mode == LZ_MODE_STORE:
+            from ..stages.lz77 import lz77_store_encode
+
+            return lz77_store_encode(data)  # trivial; no native leg needed
         return self._n.lz_encode(data, mode)
 
     def lz_decode(self, data, cap=None):

@@ -27,7 +27,11 @@ class Options:
                  threads=1, multiblock=True, anchor_units=120,
                  ans_chunk=1 << 20, rans_lanes=0, lpx_spans=4):
         self.blocksize = int(min(max(blocksize, MIN_BLOCKSIZE), MAX_BLOCKSIZE))
-        self.match_finder = match_finder
+        # 0..2 = the reference's finders (main.cpp:65-89 semantics);
+        # 3 = "store" (framework extension): BOTH LZ stages emit a bare
+        # end-token stream, so every stage length is a static function of
+        # the block size — the mode the fused device encode runs in.
+        self.match_finder = validate_match_finder(match_finder)
         self.filters = filters
         self.threads = threads
         self.multiblock = multiblock
@@ -46,6 +50,14 @@ class Options:
 
 MAX_RANS_LANES = 4096
 MAX_LPX_SPANS = 1 << 16
+LZ_MODE_STORE = 3
+
+
+def validate_match_finder(mode) -> int:
+    mode = int(mode)
+    if mode < 0 or mode > LZ_MODE_STORE:
+        raise ValueError(f"match_finder {mode} out of range (0..3)")
+    return mode
 
 
 def validate_lpx_spans(spans) -> int:
@@ -78,6 +90,10 @@ class Engine:
         return _checksum.integrity_check(data)
 
     def lz_encode(self, data, mode: int):
+        if mode == LZ_MODE_STORE:
+            from ..stages.lz77 import lz77_store_encode
+
+            return lz77_store_encode(data)
         if mode == 1:
             from ..stages.lz77_mf import lz77_m1_encode
 
@@ -121,7 +137,10 @@ def compress_block(data: np.ndarray, opt: Options, engine=None):
     eng = engine or Engine()
     data = np.asarray(data, dtype=np.uint8)
     crc = eng.checksum(data)
-    s = eng.lz_encode(data, 0)  # dedupe pre-pass (always mode 0)
+    # dedupe pre-pass: always mode 0 (jampack.cpp:34-36) except under the
+    # store extension, which turns off both LZ stages
+    pre = LZ_MODE_STORE if opt.match_finder == LZ_MODE_STORE else 0
+    s = eng.lz_encode(data, pre)
     s = eng.filters_encode(s, opt.filters)
     s = eng.lpx_encode(s, opt.lpx_spans)
     s = eng.lz_encode(s, opt.match_finder)

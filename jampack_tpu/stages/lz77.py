@@ -149,6 +149,20 @@ def lz77_dedupe_encode(data: np.ndarray) -> np.ndarray:
     return np.frombuffer(bytes(out), dtype=np.uint8)
 
 
+def lz77_store_encode(data: np.ndarray) -> np.ndarray:
+    """m3 "store": the end token followed by the whole input as the raw
+    tail (the decoder treats everything after an offset-0 token as one
+    literal, lz77.cpp:688,705).  Deterministic and engine-independent —
+    the mode that makes a fully device-resident encode chain possible
+    (every stage length becomes a static function of the block size).
+    The output stays decodable by the reference binary; mode 3 itself is
+    an extension of this framework (the reference CLI only has -m0..2)."""
+    t = np.asarray(data, dtype=np.uint8)
+    head = np.frombuffer(
+        write_token(LZ_MIN_MATCH, LZ_MIN_MATCH, 0), dtype=np.uint8)
+    return np.concatenate([head, t])
+
+
 def lz77_decode(data: np.ndarray) -> np.ndarray:
     buf = np.asarray(data, dtype=np.uint8).tobytes()
     n = len(buf)

@@ -55,6 +55,28 @@ def test_engines_cross_decode_each_other():
             assert out.getvalue() == data
 
 
+def test_store_mode_reference_decodable(oracle, tmp_path):
+    """-m3 (store, framework extension) archives use only format elements
+    the reference understands: its binary must decode them bit-exactly."""
+    rng = np.random.default_rng(99)
+    data = (b"store mode block " * 2000
+            + bytes(rng.integers(0, 256, 30000, dtype=np.uint8)))
+    jam = tmp_path / "m3.jam"
+    with open(jam, "wb") as f:
+        compress_stream(io.BytesIO(data), f,
+                        Options(match_finder=3, filters=1))
+    out = tmp_path / "m3.out"
+    oracle.decompress(jam, out, "-t1")
+    assert out.read_bytes() == data
+
+
+def test_match_finder_validation():
+    with pytest.raises(ValueError):
+        Options(match_finder=4)
+    with pytest.raises(ValueError):
+        Options(match_finder=-1)
+
+
 def test_cross_engine_decode(oracle, tmp_path):
     data = np.frombuffer(b"cross engine decode " * 2500, dtype=np.uint8).tobytes()
     raw = tmp_path / "in.bin"
@@ -116,7 +138,7 @@ def test_hybrid_engine_roundtrip_and_interop(monkeypatch):
     assert out.getvalue() == data
 
 
-@pytest.mark.parametrize("match_finder", [0, 1, 2])
+@pytest.mark.parametrize("match_finder", [0, 1, 2, 3])
 @pytest.mark.parametrize("filters", [0, 1, 2])
 def test_spec_native_identical_archives_all_options(match_finder, filters):
     """The spec engine must produce byte-identical archives to the native
