@@ -1,0 +1,243 @@
+"""Device-resident encode-stage kernels with dynamic lengths.
+
+The encode mirrors of kernels/device_stages.py: every core is jittable
+with traced actual lengths and static capacity bounds so the full encode
+chain — LZ store framing -> filters -> Lpx -> forward BWT -> SRC rank ->
+RLE0 -> wide rANS — can run device-resident under one jit (and under
+shard_map across a mesh).  Each kernel is bit-exact with its executable-
+spec counterpart in stages/.
+
+* RLE0 encode (rle.cpp:22-47): fully vectorized.  Zero runs are segmented
+  with flip-cummin / cummax passes; a run of R zeros emits the binary
+  expansion of R+1 minus its leading bit — the j-th emitted bit is
+  attributed to the run's j-th zero, so ONE drop-mode scatter lays out the
+  whole 16-bit symbol stream.
+* SRC rank encode (rank.cpp:45-90): irreducibly serial per chunk (the MTF
+  list is data-dependent), decoded here as a lane axis in lockstep like
+  rank_decode_core.  The bucketed output layout is produced WITHOUT
+  per-step scatters: each step emits (bucket_pos << 8 | rank) packed into
+  its own column, and one per-lane sort at the end delivers the bucket
+  order (sorting by a permutation key beats a scatter on this platform).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def rle0_encode_core(data: jnp.ndarray, n, rcap: int):
+    """data: (N,) uint8 padded; n traced actual length.
+    Returns (syms (rcap,) uint16, rlen).  rlen <= n always (zero runs
+    shrink, nonzero symbols map 1:1), so rcap = N suffices."""
+    N = data.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    valid = idx < n
+    v = data.astype(jnp.int32)
+    z = valid & (v == 0)
+    prev_z = jnp.concatenate([jnp.zeros(1, bool), z[:-1]])
+    next_z = jnp.concatenate([z[1:], jnp.zeros(1, bool)])
+    run_start = z & ~prev_z
+    run_end = z & ~next_z
+    # run bounds at every zero position: nearest end at/after (reverse
+    # cummin) and nearest start at/before (cummax)
+    endi = jnp.flip(jax.lax.cummin(
+        jnp.flip(jnp.where(run_end, idx, jnp.int32(N)))))
+    starti = jax.lax.cummax(jnp.where(run_start, idx, jnp.int32(-1)))
+    lv = endi - starti + 2  # L = run + 1 (>= 2 at zero positions)
+    # msb = bit_length(L) - 1; chunk lengths are < 2^24
+    msb = jnp.zeros(N, jnp.int32)
+    for k in range(1, 25):
+        msb = msb + (lv >= (1 << k))
+    j = idx - starti
+    emit_bit = z & (j < msb)
+    nonzero = valid & (v > 0)
+    emit = nonzero | emit_bit
+    cnt = emit.astype(jnp.int32)
+    pos = jnp.cumsum(cnt) - cnt
+    rlen = jnp.sum(cnt)
+    shift = jnp.clip(msb - 1 - j, 0, 31)
+    bit = (lv >> shift) & 1
+    val = jnp.where(nonzero, v + 1, bit).astype(jnp.uint16)
+    out = jnp.zeros(rcap + 1, jnp.uint16).at[
+        jnp.where(emit, jnp.minimum(pos, rcap), rcap)
+    ].set(jnp.where(emit, val, 0), mode="drop")[:rcap]
+    return out, rlen
+
+
+def rank_encode_core(chunks: jnp.ndarray, olens: jnp.ndarray):
+    """Wide-lane SRC rank encode: L chunks in lockstep.
+
+    chunks: (L, OCAP) uint8 (padded); olens: (L,) i32 actual lengths
+    (<= OCAP; <= 0 marks padding lanes).
+    Returns (ranks (L, OCAP) uint8, freqs (L, 256) i32).
+    """
+    L, OCAP = chunks.shape
+    cols = jnp.arange(256, dtype=jnp.int32)
+    idx = jnp.arange(OCAP, dtype=jnp.int32)
+    lane = jnp.arange(L, dtype=jnp.int32)[:, None]
+    valid = idx[None, :] < olens[:, None]
+    c32 = chunks.astype(jnp.int32)
+    tgt = jnp.where(valid, c32, 256)  # padding -> overflow bin
+
+    freqs = jnp.zeros((L, 257), jnp.int32).at[
+        jnp.broadcast_to(lane, (L, OCAP)), tgt].add(1)[:, :256]
+
+    # MTF list initialised by first-appearance order (rank.cpp:45-51);
+    # never-appearing symbols land at the tail — their order is irrelevant
+    # (MTF ranks of seen symbols always stay below the unique count)
+    first = jnp.full((L, 257), OCAP, jnp.int32).at[
+        jnp.broadcast_to(lane, (L, OCAP)), tgt
+    ].min(jnp.broadcast_to(idx[None, :], (L, OCAP)))[:, :256]
+    _, sym_s = jax.lax.sort(
+        (first, jnp.broadcast_to(cols, (L, 256))), num_keys=1, is_stable=True)
+    r2s = sym_s.astype(jnp.uint8)
+
+    # bucket bases laid out in descending frequency (ties: lowest symbol),
+    # rank.cpp:15-39 + 54-58
+    negs, sorted_sym = jax.lax.sort(
+        (-freqs, jnp.broadcast_to(cols, (L, 256))), num_keys=1,
+        is_stable=True)
+    sorted_freq = -negs
+    base = jnp.cumsum(sorted_freq, axis=1) - sorted_freq
+    has = sorted_freq > 0
+    bucket = jnp.zeros((L, 256), jnp.int32).at[
+        jnp.broadcast_to(lane, (L, 256)), sorted_sym
+    ].set(jnp.where(has, base, 0))
+
+    out = jnp.full((L, OCAP), jnp.uint32(0xFFFFFFFF))
+
+    def body(i, carry):
+        r2s, bucket, out = carry
+        active = i < olens
+        sym = chunks[:, i]
+        oh = cols[None, :] == sym.astype(jnp.int32)[:, None]  # (L, 256)
+        # NO per-step gathers or scatters (same measured trade as
+        # rank_decode_core): rank and bucket position are one-hot
+        # reductions, the MTF shift is a fused select chain
+        rank = jnp.sum(
+            jnp.where(r2s == sym[:, None], cols[None, :], 0), axis=1)
+        bpos = jnp.sum(jnp.where(oh, bucket, 0), axis=1)
+        bucket = bucket + jnp.where(oh & active[:, None], 1, 0)
+        packed = jnp.where(
+            active,
+            (bpos.astype(jnp.uint32) << 8) | rank.astype(jnp.uint32),
+            jnp.uint32(0xFFFFFFFF))
+        out = out.at[:, i].set(packed)
+        # move-to-front: entries [1, rank] take their left neighbour,
+        # entry 0 takes sym (rank.cpp:66-73; rank == 0 is a no-op)
+        shifted = jnp.concatenate([r2s[:, :1], r2s[:, :-1]], axis=1)
+        take = active[:, None] & (cols[None, :] <= rank[:, None]) \
+            & (cols[None, :] >= 1)
+        head = active[:, None] & (cols[None, :] == 0)
+        r2s = jnp.where(head, sym[:, None], jnp.where(take, shifted, r2s))
+        return r2s, bucket, out
+
+    steps = jnp.minimum(jnp.maximum(jnp.max(olens), 0), OCAP)
+    _, _, out = jax.lax.fori_loop(0, steps, body, (r2s, bucket, out))
+    # the bucketed layout = ranks ordered by their packed positions; the
+    # 0xFFFFFFFF padding sentinels sort last and are masked off
+    ordered = jax.lax.sort(out, dimension=1)
+    ranks = jnp.where(valid, (ordered & 0xFF).astype(jnp.uint8), 0)
+    return ranks, freqs
+
+
+# ---------------------------------------------------------------------------
+# Fused full-block encode (the device-resident encode chain)
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+@partial(jax.jit, static_argnames=("n", "units", "chunk", "lanes",
+                                   "lpx_spans"))
+def encode_block_core(data: jnp.ndarray, n: int, units: int, chunk: int,
+                      lanes: int, lpx_spans: int):
+    """The whole per-block ENCODE chain, device-resident under one jit:
+
+        LZ store framing -> filters=0 headers -> Lpx -> LZ store framing
+        -> forward BWT + anchors -> per chunk: SRC rank -> RLE0
+        -> per chain: model pass -> reverse interleaved rANS
+
+    the device mirror of the reference's per-block Comp() sequence
+    (jampack.cpp:30-42) in the store/filters-off configuration, where every
+    stage length is a static function of the block length `n` — so the
+    whole chain compiles with static shapes (one jit variant per distinct
+    block size; archives keep it constant except for the ragged tail).
+
+    data: (n,) uint8.  Returns (bufs (NL, 4*max_rlen+16) u8 payload
+    buffers, ptrs (NL,), oks (NL,), freqs (C, 256) i32, rlens (C,)) for
+    the host splicer — NL = C * max(lanes, 1) chains in chunk-major order.
+    """
+    from ..format.constants import FILTER_BLOCK_SIZE, LZ_MIN_MATCH
+    from ..stages.lz77 import write_token
+    from .device_stages import lpx_dyn_core
+    from .rans_encode import model_chain_pairs, rans_reverse_encode
+    from .sa import bwt_from_prev_sorted, sa_doubling_core
+
+    tok = np.frombuffer(write_token(LZ_MIN_MATCH, LZ_MIN_MATCH, 0),
+                        dtype=np.uint8)
+    T = tok.size
+    tokj = jnp.asarray(tok)
+    FBS = FILTER_BLOCK_SIZE
+
+    # ---- 1. LZ store + 2. filters=0 chunk headers, fused as ONE scatter:
+    # source byte i of [token | data] lands at (i//FBS)*(FBS+2) + 2 + i%FBS;
+    # the (0,0) headers are the zero-init
+    n1 = n + T
+    nf = _ceil_div(n1, FBS)
+    n2 = n1 + 2 * nf
+    s1 = jnp.concatenate([tokj, data])
+    i1 = jnp.arange(n1, dtype=jnp.int32)
+    dst = (i1 // FBS) * (FBS + 2) + 2 + (i1 % FBS)
+    s2 = jnp.zeros(n2, jnp.uint8).at[dst].set(s1)
+
+    # ---- 3. Lpx (span-parallel XOR prediction), same-size
+    s2 = lpx_dyn_core(s2, jnp.int32(n2), n2, decode=False, spans=lpx_spans)
+
+    # ---- 4. second LZ store framing
+    s3 = jnp.concatenate([tokj, s2])
+    n3 = n2 + T
+
+    # ---- 5. forward BWT: trailing n3 % units bytes raw, anchors appended
+    rem = n3 % units
+    nlen = n3 - rem
+    _, isa, prev_sorted = sa_doubling_core(s3[:nlen], nlen)
+    bwt = bwt_from_prev_sorted(prev_sorted, isa[0], nlen)
+    step = nlen // units
+    anchors = isa[: units * step : step] + 1  # ISA[u*step]+1, bwt.cpp:44-48
+    abytes = ((anchors[:, None] >> jnp.asarray([0, 8, 16, 24])[None, :])
+              & 0xFF).astype(jnp.uint8).reshape(-1)
+    s4 = jnp.concatenate([bwt, s3[nlen:], abytes])
+    n4 = n3 + 4 * units
+
+    # ---- 6. entropy, all chunks in lockstep: rank -> RLE0 -> lane deal
+    C = _ceil_div(n4, chunk)
+    olens = np.minimum(chunk, n4 - chunk * np.arange(C)).astype(np.int32)
+    rows = jnp.zeros(C * chunk, jnp.uint8).at[: n4].set(s4).reshape(C, chunk)
+    olens_j = jnp.asarray(olens)
+    ranks, freqs = rank_encode_core(rows, olens_j)
+    syms, rlens = jax.vmap(
+        lambda r, ol: rle0_encode_core(r, ol, chunk))(ranks, olens_j)
+
+    # round-robin lane deal (ans.cpp chunk layout / JTX wide-interleave):
+    # chain (c, l) owns chunk c's symbols at positions l, l+lanes, ...
+    eff = max(lanes, 1)
+    rcap = _ceil_div(chunk, eff) * eff
+    max_rlen = rcap // eff
+    syms_p = jnp.pad(syms, ((0, 0), (0, rcap - chunk)))
+    chains = syms_p.reshape(C, max_rlen, eff).transpose(0, 2, 1).reshape(
+        C * eff, max_rlen)
+    lane_ids = jnp.arange(eff, dtype=jnp.int32)[None, :]
+    crlens = ((rlens[:, None] - lane_ids + eff - 1) // eff).reshape(-1)
+
+    # ---- 7. per-chain model pass + reverse 4-state rANS
+    def one(ch, rl):
+        lows, fqs, ok = model_chain_pairs(ch, rl, max_rlen)
+        buf, ptr = rans_reverse_encode(lows, fqs, rl, max_rlen)
+        return buf, ptr, ok
+
+    bufs, ptrs, oks = jax.vmap(one)(chains, crlens)
+    return bufs, ptrs, oks, freqs, rlens

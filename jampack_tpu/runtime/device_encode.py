@@ -1,0 +1,103 @@
+"""Host wrapper for the fused device-resident block encode.
+
+The encode mirror of runtime/device_decode.py: all O(n) data work runs
+inside one jitted device program per block (kernels/encode_stages.
+encode_block_core — the device counterpart of the reference's per-block
+Comp() chain, jampack.cpp:30-42); the host computes the checksum and
+splices format *metadata* (chunk headers, lane tables) around the
+device-produced payload byte ranges.
+
+Supported configuration: match_finder=3 (LZ store) + filters=0 — the
+modes whose stage lengths are static functions of the block size, so the
+whole chain compiles with static shapes.  Archives are byte-identical to
+every host engine's at the same Options (tests/test_device_pipeline.py).
+"""
+
+import numpy as np
+
+from ..format import checksum as _checksum
+from ..format.constants import ANS_CHUNK_SIZE
+from ..format.varint import encode_leb128
+from ..stages.ans import write_chunk_header
+from .pipeline import LZ_MODE_STORE, Options
+
+
+def encode_block_device(data: np.ndarray, opt: Options):
+    """Encode one block entirely on device; returns (crc, payload bytes).
+
+    Raises NotImplementedError for configurations whose encoders are
+    host-only (real LZ match finding, filter search) — callers fall back
+    to the host engines there."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..kernels.encode_stages import encode_block_core
+
+    if opt.match_finder != LZ_MODE_STORE or opt.filters != 0:
+        raise NotImplementedError(
+            "device encode supports match_finder=3 (store) + filters=0")
+    data = np.ascontiguousarray(np.asarray(data, dtype=np.uint8))
+    n = int(data.size)
+    crc = _checksum.integrity_check(data)
+    units = int(opt.anchor_units)
+    # tiny blocks (no full BWT row per unit) take the host path
+    if n < max(4 * units, 1024):
+        raise NotImplementedError("block too small for the device chain")
+    chunk = min(max(int(opt.ans_chunk), 1), ANS_CHUNK_SIZE)
+    lanes = int(opt.rans_lanes)
+
+    bufs, ptrs, oks, freqs, rlens = encode_block_core(
+        jnp.asarray(data), n=n, units=units, chunk=chunk, lanes=lanes,
+        lpx_spans=int(opt.lpx_spans))
+    bufs = np.asarray(jax.device_get(bufs))
+    ptrs = np.asarray(jax.device_get(ptrs))
+    oks = np.asarray(jax.device_get(oks))
+    freqs = np.asarray(jax.device_get(freqs))
+    rlens = np.asarray(jax.device_get(rlens))
+    if not bool(oks.all()):
+        raise ValueError(
+            "model failure (CDF): chunk not encodable in ref-compat mode")
+
+    return crc, splice_payload(bufs, ptrs, freqs, rlens, n, units, chunk,
+                               lanes)
+
+
+def stage4_len(n: int, units: int) -> int:
+    """Entropy-stage input length for a block of n raw bytes in the
+    store/filters-off configuration (the same static math as the core)."""
+    from ..format.constants import FILTER_BLOCK_SIZE, LZ_MIN_MATCH
+    from ..kernels.encode_stages import _ceil_div
+    from ..stages.lz77 import write_token
+
+    T = len(write_token(LZ_MIN_MATCH, LZ_MIN_MATCH, 0))
+    n1 = n + T
+    n2 = n1 + 2 * _ceil_div(n1, FILTER_BLOCK_SIZE)
+    return n2 + T + 4 * units
+
+
+def splice_payload(bufs, ptrs, freqs, rlens, n: int, units: int, chunk: int,
+                   lanes: int) -> bytes:
+    """Assemble one block's payload from the core's outputs: per chunk,
+    header + (lane table +) chain payloads — the same format path as
+    stages/ans.py ans_encode / jn_ans.cpp."""
+    from ..kernels.encode_stages import _ceil_div
+
+    eff = max(lanes, 1)
+    C = rlens.size
+    n4 = stage4_len(n, units)
+    assert C == _ceil_div(n4, chunk)
+    out = bytearray()
+    for c in range(C):
+        olen = min(chunk, n4 - chunk * c)
+        payloads = [
+            bufs[c * eff + l, int(ptrs[c * eff + l]):].tobytes()
+            for l in range(eff)
+        ]
+        if lanes >= 2:
+            table = b"".join(encode_leb128(len(p)) for p in payloads)
+            body = table + b"".join(payloads)
+        else:
+            body = payloads[0]
+        out += write_chunk_header(freqs[c], olen, len(body), int(rlens[c]))
+        out += body
+    return bytes(out)

@@ -134,6 +134,122 @@ def sharded_full_decode_step(mesh: Mesh, lanes: int, units: int, shapes,
     )
 
 
+def sharded_full_encode_step(mesh: Mesh, n: int, units: int, chunk: int,
+                             lanes: int, lpx_spans: int):
+    """The multi-chip ENCODE mirror of sharded_full_decode_step: each
+    device runs the entire per-block encode chain (LZ store framing ->
+    filters -> Lpx -> forward BWT -> rank -> RLE0 -> reverse rANS) on its
+    own raw block — the device counterpart of the reference's parallel
+    compress loop (jampack.cpp:215-219 running jampack.cpp:30-42 per
+    instance).  One block per device per call; n is the (static) block
+    length shared by the batch."""
+    from functools import partial as _partial
+
+    from ..kernels.encode_stages import encode_block_core
+
+    core = _partial(encode_block_core, n=n, units=units, chunk=chunk,
+                    lanes=lanes, lpx_spans=lpx_spans)
+
+    def per_shard(blocks):
+        bufs, ptrs, oks, freqs, rlens = core(blocks[0])
+        done = jax.lax.psum(jnp.int32(1), axis_name="data")
+        return (bufs[None], ptrs[None], oks[None], freqs[None], rlens[None],
+                done)
+
+    return jax.jit(
+        shard_map(
+            per_shard,
+            mesh,
+            (P("data", None),),
+            (P("data", None, None), P("data", None), P("data", None),
+             P("data", None, None), P("data", None), P()),
+        )
+    )
+
+
+def encode_archive_sharded(inp, out, opt, mesh: Mesh = None, engine=None):
+    """Compress a whole stream with one raw block per device: reads blocks
+    on the host, runs the fused device encode chain across the mesh in
+    batches of mesh size (equal-length blocks batch together; the ragged
+    tail block takes the single-chip device path or, below the device
+    minimum, the host engine — all paths produce byte-identical archives),
+    splices format metadata around the device payloads, and writes framed
+    blocks in file order.  Replicates compress_stream's feof-driven
+    trailing-empty-block semantics (jampack.cpp:205-214)."""
+    from ..format import checksum as _checksum
+    from ..format import framing
+    from ..format.constants import ANS_CHUNK_SIZE
+    from .device_encode import encode_block_device, splice_payload
+    from .pipeline import Engine, compress_block
+
+    mesh = mesh or make_mesh()
+    D = mesh.devices.size
+    blocks = []
+    pending_empty = True
+    while True:
+        b = inp.read(opt.blocksize)
+        if len(b) == 0 and not pending_empty:
+            break
+        blocks.append(np.frombuffer(b, dtype=np.uint8))
+        if len(b) == 0:
+            break
+        pending_empty = len(b) == opt.blocksize
+
+    units = int(opt.anchor_units)
+    chunk = min(max(int(opt.ans_chunk), 1), ANS_CHUNK_SIZE)
+    lanes = int(opt.rans_lanes)
+    dev_min = max(4 * units, 1024)
+    payloads = [None] * len(blocks)
+    crcs = [0] * len(blocks)
+
+    # group device-eligible blocks by length (archives keep the block size
+    # constant except the tail, so this is one group + maybe one straggler)
+    by_len = {}
+    for i, blk in enumerate(blocks):
+        if blk.size >= dev_min:
+            by_len.setdefault(blk.size, []).append(i)
+        else:  # tiny tail: host engine, byte-identical by construction
+            crcs[i], payloads[i] = compress_block(blk, opt,
+                                                  engine or Engine())
+
+    for n, idxs in by_len.items():
+        if len(idxs) == 1:
+            i = idxs[0]
+            crcs[i], payloads[i] = encode_block_device(blocks[i], opt)
+            continue
+        step = sharded_full_encode_step(mesh, n, units, chunk, lanes,
+                                        int(opt.lpx_spans))
+        sharding1 = NamedSharding(mesh, P("data", None))
+        for b0 in range(0, len(idxs), D):
+            batch = idxs[b0 : b0 + D]
+            stack = [blocks[i] for i in batch]
+            while len(stack) < D:  # pad the final batch with block 0
+                stack.append(stack[0])
+            arg = jax.device_put(np.stack(stack), sharding1)
+            bufs, ptrs, oks, freqs, rlens, _ = step(arg)
+            bufs = np.asarray(jax.device_get(bufs))
+            ptrs = np.asarray(jax.device_get(ptrs))
+            oks = np.asarray(jax.device_get(oks))
+            freqs = np.asarray(jax.device_get(freqs))
+            rlens = np.asarray(jax.device_get(rlens))
+            for j, i in enumerate(batch):
+                if not bool(oks[j].all()):
+                    raise ValueError("model failure (CDF): chunk not "
+                                     "encodable in ref-compat mode")
+                crcs[i] = _checksum.integrity_check(blocks[i])
+                payloads[i] = splice_payload(
+                    bufs[j], ptrs[j], freqs[j], rlens[j], n, units, chunk,
+                    lanes)
+
+    raw = comp = 0
+    for i, blk in enumerate(blocks):
+        framing.write_block(out, crcs[i], payloads[i], opt.blocksize,
+                            opt.anchor_units, opt.rans_lanes, opt.lpx_spans)
+        raw += blk.size
+        comp += len(payloads[i]) + framing.HEADER_SIZE
+    return raw, comp
+
+
 def decode_archive_sharded(inp, mesh: Mesh = None):
     """Decode a whole archive (file object) with one framed block per
     device: reads + meta-parses block headers on the host (format metadata

@@ -282,3 +282,119 @@ def test_tpu_engine_f1_f2_cross_engine_archives():
         crc_t, pay_t = compress_block(data, opt, TpuEngine())
         crc_s, pay_s = compress_block(data, opt, Engine())
         assert crc_t == crc_s and pay_t == pay_s
+
+
+# ---------------------------------------------------------------------------
+# Device-resident ENCODE chain (round 2): stage kernels, fused block encode,
+# sharded multi-chip archive encode — the mirror of the decode coverage above.
+
+
+def test_rle0_encode_device_matches_spec():
+    from functools import partial
+
+    from jampack_tpu.kernels.encode_stages import rle0_encode_core
+    from jampack_tpu.stages.rle0 import rle0_encode
+
+    fn = jax.jit(partial(rle0_encode_core, rcap=3000))
+    for style in range(4):
+        n = int(RNG.integers(0, 2500))
+        if style == 0:
+            data = (RNG.integers(0, 4, n) * (RNG.random(n) < 0.4)).astype(np.uint8)
+        elif style == 1:
+            data = np.zeros(n, dtype=np.uint8)
+        elif style == 2:
+            data = RNG.integers(1, 256, n, dtype=np.uint8)
+        else:
+            data = RNG.integers(0, 256, n, dtype=np.uint8)
+        pad = np.zeros(3000, np.uint8)
+        pad[:n] = data
+        syms, rlen = fn(jnp.asarray(pad), jnp.int32(n))
+        want = rle0_encode(data)
+        assert np.array_equal(np.asarray(syms)[: int(rlen)],
+                              want.astype(np.uint16))
+
+
+def test_rank_encode_device_matches_spec():
+    from jampack_tpu.kernels.encode_stages import rank_encode_core
+    from jampack_tpu.stages.rank import rank_encode
+
+    L, OCAP = 4, 2048
+    chunks = np.zeros((L, OCAP), np.uint8)
+    olens = np.zeros(L, np.int32)
+    wants = []
+    for l in range(L):
+        n = int(RNG.integers(0, OCAP)) if l != 2 else 0
+        data = (_corpus(max(n, 8))[:n] if l % 2 == 0
+                else RNG.integers(0, 256, n, dtype=np.uint8))
+        chunks[l, :n] = data
+        olens[l] = n
+        wants.append(rank_encode(data))
+    ranks, freqs = jax.jit(rank_encode_core)(
+        jnp.asarray(chunks), jnp.asarray(olens))
+    ranks, freqs = np.asarray(ranks), np.asarray(freqs)
+    for l in range(L):
+        wr, wf = wants[l]
+        assert np.array_equal(ranks[l, : olens[l]], wr)
+        assert np.array_equal(freqs[l], np.asarray(wf, np.int64))
+
+
+@pytest.mark.parametrize("lanes,chunk,spans,units", [
+    (0, 4096, 4, 120),
+    (4, 2048, 16, 16),
+    (16, 2048, 64, 24),
+])
+def test_fused_device_encode(lanes, chunk, spans, units):
+    """encode_block_device archives must be byte-identical to the host
+    engines' for the same Options (no silent divergence across engines)."""
+    from jampack_tpu.runtime.device_encode import encode_block_device
+    from jampack_tpu.runtime.pipeline import decompress_block
+
+    data = _corpus(9000)
+    opt = Options(blocksize=1 << 20, match_finder=3, filters=0,
+                  rans_lanes=lanes, ans_chunk=chunk, lpx_spans=spans,
+                  anchor_units=units)
+    crc_d, pay_d = encode_block_device(data, opt)
+    crc_h, pay_h = compress_block(data, opt, Engine())
+    assert crc_d == crc_h
+    assert pay_d == pay_h
+    back = decompress_block(pay_d, crc_d, Engine(), opt.blocksize, units,
+                            lanes, spans)
+    assert np.array_equal(back, data)
+
+
+def test_fused_device_encode_rejects_unsupported():
+    from jampack_tpu.runtime.device_encode import encode_block_device
+
+    with pytest.raises(NotImplementedError):
+        encode_block_device(_corpus(5000),
+                            Options(match_finder=0, filters=0))
+    with pytest.raises(NotImplementedError):
+        encode_block_device(_corpus(5000),
+                            Options(match_finder=3, filters=1))
+
+
+def test_sharded_archive_encode():
+    """Multi-chip encode: one raw block per device through the full fused
+    chain; archive bytes identical to the host engine's compress_stream
+    (including the ragged tail and the tiny-tail host fallback)."""
+    from jampack_tpu.runtime.sharding import encode_archive_sharded, make_mesh
+
+    n_dev = len(jax.devices())
+    blocksize = 6000
+    # n_dev + 2 full blocks (one full batch + a padded straggler batch),
+    # then a tiny tail that exercises the host fallback
+    total = (n_dev + 2) * blocksize + 800
+    data = _corpus(total)[:total].tobytes()
+
+    opt = Options(blocksize=1 << 20, match_finder=3, filters=0, rans_lanes=4,
+                  ans_chunk=2048, anchor_units=16, lpx_spans=8)
+    opt.blocksize = blocksize  # test-only: below MIN_BLOCKSIZE on purpose
+
+    want = io.BytesIO()
+    raw_w, comp_w = compress_stream(io.BytesIO(data), want, opt,
+                                    engine=Engine())
+    got = io.BytesIO()
+    raw, comp = encode_archive_sharded(io.BytesIO(data), got, opt,
+                                       make_mesh(n_dev))
+    assert got.getvalue() == want.getvalue()
+    assert (raw, comp) == (raw_w, comp_w) and raw == total
