@@ -8,7 +8,9 @@ finder (0 dedupe / 1 hash chain / 2 suffix array / 3 store: both LZ stages
 off — framework extension, archives stay reference-decodable), -f filters (0 off /
 1 heuristic / 2 brute force / 3 TPU device search), -t threads, -T
 single-block low-memory decode.
-Extra: --engine numpy|native|tpu|hybrid (default native); JTX/JT3 stream
+Extra: --engine numpy|native|tpu|hybrid|fused (default native; fused = the
+device-resident block-level chain, one block per device across the local
+mesh — encode needs -m3 -f0); JTX/JT3 stream
 parameters -u# BWT anchor units, -c# ANS chunk KB, -L# rANS lane-interleave
 width, -S# Lpx span count (intra-block Lpx parallel width).
 """
@@ -179,6 +181,30 @@ def run(argv):
     if parsed is None:
         return 0
     mode, inp, outp, opt, engine_name = parsed
+    if engine_name == "fused":
+        # the device-resident block-level paths: the whole per-block chain
+        # in one jit per block, one block per device across the local mesh
+        # (encode needs -m3 -f0; decode reads any archive)
+        from .runtime.sharding import (decode_archive_sharded,
+                                       encode_archive_sharded, make_mesh)
+
+        mesh = make_mesh()
+        start = time.time()
+        with open(inp, "rb") as fin, open(outp, "wb") as fout:
+            if mode == "c":
+                raw, comp = encode_archive_sharded(fin, fout, opt, mesh)
+            elif mode == "d":
+                data = decode_archive_sharded(fin, mesh)
+                fout.write(data)
+                raw, comp = len(data), fin.tell()
+            else:
+                raise SystemExit("Invalid option!")
+        dt = time.time() - start
+        ratio = (comp / raw * 100) if raw else 0.0
+        rate = (raw / 1e6) / dt if dt > 0 else 0.0
+        print(f"{raw / 1e6:.2f} MB <=> {comp / 1e6:.2f} MB ({ratio:.2f}%) "
+              f"@ {rate:.2f} MB/s in {dt:.2f}s [fused x{mesh.devices.size}]")
+        return 0
     engine = _make_engine(engine_name, opt.threads)
     verbose = any(a in ("-v", "--verbose") for a in argv[4:])
     if verbose:

@@ -174,7 +174,8 @@ def encode_block_core(data: jnp.ndarray, n: int, units: int, chunk: int,
     from ..format.constants import FILTER_BLOCK_SIZE, LZ_MIN_MATCH
     from ..stages.lz77 import write_token
     from .device_stages import lpx_dyn_core
-    from .rans_encode import model_chain_pairs, rans_reverse_encode
+    from .rans_encode import rans_reverse_encode
+    from .rans_wide import model_pairs_wide
     from .sa import bwt_from_prev_sorted, sa_doubling_core
 
     tok = np.frombuffer(write_token(LZ_MIN_MATCH, LZ_MIN_MATCH, 0),
@@ -233,11 +234,10 @@ def encode_block_core(data: jnp.ndarray, n: int, units: int, chunk: int,
     lane_ids = jnp.arange(eff, dtype=jnp.int32)[None, :]
     crlens = ((rlens[:, None] - lane_ids + eff - 1) // eff).reshape(-1)
 
-    # ---- 7. per-chain model pass + reverse 4-state rANS
-    def one(ch, rl):
-        lows, fqs, ok = model_chain_pairs(ch, rl, max_rlen)
-        buf, ptr = rans_reverse_encode(lows, fqs, rl, max_rlen)
-        return buf, ptr, ok
-
-    bufs, ptrs, oks = jax.vmap(one)(chains, crlens)
+    # ---- 7. wide model pass (all chains in one lockstep bank loop) +
+    # vmapped reverse 4-state rANS
+    lows, fqs2, oks = model_pairs_wide(chains, crlens, max_rlen)
+    bufs, ptrs = jax.vmap(
+        lambda lo, fq, rl: rans_reverse_encode(lo, fq, rl, max_rlen)
+    )(lows, fqs2, crlens)
     return bufs, ptrs, oks, freqs, rlens

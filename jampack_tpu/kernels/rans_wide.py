@@ -92,6 +92,11 @@ _QCOLS = int(_QOFF[-1])
 
 _PACK = 1 << 17  # symbol-index packing stride in the freq plane
 
+# static per-model interior-cum column starts / alphabet sizes, for the
+# encode-side known-symbol lookups
+_BOFF_I = [int(x) for x in _BOFF]
+_ALPHA_BY_MODEL = list(_ALPHAS)
+
 
 def _init_bank_row() -> np.ndarray:
     """(256,) uint16 initial interior-cum bank (ans.cpp:136-140 resets)."""
@@ -107,6 +112,52 @@ def _init_bank_row() -> np.ndarray:
 
 
 _BANK_INIT = _init_bank_row()
+
+
+def _quasi_rescale_all(bank, qf, q_seen, q_exp, pred, qi):
+    """Rescale the active quasi model of every lane with `pred` set
+    (model.cpp:160-204, unsigned semantics); returns the updated
+    (bank, qf, q_seen, q_exp).  Callers run this behind a scalar
+    jnp.any(pred) lax.cond so the cost is paid only on steps that
+    actually rescale."""
+    L = bank.shape[0]
+    nq_col = jnp.arange(NQ)[None, :]
+    new_bank_segs, new_qf_segs = [], []
+    for k in range(NQ):
+        alpha = _QALPHA_L[k]
+        c0 = int(_QOFF[k])
+        qfk = qf[:, c0:c0 + alpha]                  # (L, alpha)
+        total = jnp.sum(qfk, axis=1)
+        # smallest log with (total>>log)+alpha <= 2^16; fori keeps the
+        # traced body small
+        logv = jax.lax.fori_loop(
+            0, 21,
+            lambda _, lv: lv
+            + (((total >> lv) + alpha) > PROB_SCALE).astype(jnp.int32),
+            jnp.zeros_like(total),
+        )
+        f = (qfk >> logv[:, None]) + 1
+        t2 = jnp.sum(f, axis=1)
+        # model.cpp:183 is UNSIGNED; product < 2^32: exact
+        prod = f.astype(jnp.uint32) << PROB_BITS
+        q = (prod // t2[:, None].astype(jnp.uint32)).astype(jnp.int32)
+        fix = PROB_SCALE - jnp.sum(q, axis=1)
+        q = q.at[:, 0].add(fix)
+        cum = jnp.cumsum(q[:, :alpha - 1], axis=1)  # interior only
+        rowm = (pred & (qi == k))[:, None]
+        b0 = int(_BOFF[3 + k])
+        old = bank[:, b0:b0 + alpha - 1]
+        new_bank_segs.append(
+            jnp.where(rowm, cum.astype(jnp.uint16), old))
+        new_qf_segs.append(jnp.where(rowm, 0, qfk))
+    nb = jnp.concatenate(
+        [bank[:, :int(_BOFF[3])]] + new_bank_segs, axis=1)
+    nqf = jnp.concatenate(new_qf_segs, axis=1)
+    resc_hit = (nq_col == qi[:, None]) & pred[:, None]  # (L, NQ)
+    q_seen = jnp.where(resc_hit, 0, q_seen)
+    new_exp = jnp.where(q_exp < UPDATE_RATE, q_exp << 1, UPDATE_RATE)
+    q_exp = jnp.where(resc_hit, new_exp, q_exp)
+    return nb, nqf, q_seen, q_exp
 
 
 @partial(jax.jit, static_argnames=("max_rlen", "groups"))
@@ -302,48 +353,9 @@ def decode_lanes_wide(buf: jnp.ndarray, starts: jnp.ndarray,
 
         # ---- quasi rescale behind ONE scalar predicate
         pred = q_upd & (seen_row > exp_row)
-
-        def rescale(args):
-            bank, qf, q_seen, q_exp = args
-            new_bank_segs, new_qf_segs = [], []
-            for k in range(NQ):
-                alpha = _QALPHA_L[k]
-                c0 = int(_QOFF[k])
-                qfk = qf[:, c0:c0 + alpha]                  # (L, alpha)
-                total = jnp.sum(qfk, axis=1)
-                # smallest log with (total>>log)+alpha <= 2^16; fori keeps
-                # the traced body small
-                logv = jax.lax.fori_loop(
-                    0, 21,
-                    lambda _, lv: lv
-                    + (((total >> lv) + alpha) > PROB_SCALE).astype(jnp.int32),
-                    jnp.zeros_like(total),
-                )
-                f = (qfk >> logv[:, None]) + 1
-                t2 = jnp.sum(f, axis=1)
-                # model.cpp:183 is UNSIGNED; product < 2^32: exact
-                prod = f.astype(jnp.uint32) << PROB_BITS
-                q = (prod // t2[:, None].astype(jnp.uint32)).astype(jnp.int32)
-                fix = PROB_SCALE - jnp.sum(q, axis=1)
-                q = q.at[:, 0].add(fix)
-                cum = jnp.cumsum(q[:, :alpha - 1], axis=1)  # interior only
-                rowm = (pred & (qi == k))[:, None]
-                b0 = int(_BOFF[3 + k])
-                old = bank[:, b0:b0 + alpha - 1]
-                new_bank_segs.append(
-                    jnp.where(rowm, cum.astype(jnp.uint16), old))
-                new_qf_segs.append(jnp.where(rowm, 0, qfk))
-            nb = jnp.concatenate(
-                [bank[:, :int(_BOFF[3])]] + new_bank_segs, axis=1)
-            nqf = jnp.concatenate(new_qf_segs, axis=1)
-            resc_hit = (nq_col == qi[:, None]) & pred[:, None]  # (L, NQ)
-            q_seen = jnp.where(resc_hit, 0, q_seen)
-            new_exp = jnp.where(q_exp < UPDATE_RATE, q_exp << 1, UPDATE_RATE)
-            q_exp = jnp.where(resc_hit, new_exp, q_exp)
-            return nb, nqf, q_seen, q_exp
-
         bank, qf, q_seen, q_exp = jax.lax.cond(
-            jnp.any(pred), rescale, lambda a: a,
+            jnp.any(pred),
+            lambda a: _quasi_rescale_all(*a, pred, qi), lambda a: a,
             (bank, qf, q_seen, q_exp),
         )
 
@@ -371,3 +383,137 @@ def decode_lanes_wide(buf: jnp.ndarray, starts: jnp.ndarray,
     # rlens < 0 marks batch-padding lanes (no chain there at all)
     ok = jnp.all(R == jnp.uint32(RANS_BYTE_L), axis=1) | (rlens < 0)
     return syms, ok
+
+
+# ---------------------------------------------------------------------------
+# Wide (lane-vectorized) forward MODEL pass — the encode mirror.
+
+
+def model_pairs_wide(chains: jnp.ndarray, rlens: jnp.ndarray,
+                     max_rlen: int):
+    """Forward model pass for L chains in lockstep (ans.cpp:152-187):
+    2 (low, freq) ops per symbol through the same (L, 256) uint16
+    interior-cum bank as the decoder.  The encode direction KNOWS each
+    step's symbol, so the per-model lookups are one-hot column reads of
+    the bank (cum[m], cum[m+1]) — no range search, no per-lane gathers;
+    the exponent class itself comes from 7 boundary compares instead of a
+    LOG[] table gather.  Updates (CDF mixing, quasi counts, the rescale
+    behind one scalar predicate) are shared with the decoder.
+
+    chains: (L, max_rlen) uint16; rlens: (L,) actual lengths.
+    Returns (lows (L, 2*max_rlen) u16, fqs (L, 2*max_rlen) u16, ok (L,)).
+    ok is False where a zero-frequency op was hit (wrap-regime chunk,
+    model.cpp:183 failure parity — not encodable in ref-compat mode).
+    """
+    L = chains.shape[0]
+    bank = jnp.broadcast_to(jnp.asarray(_BANK_INIT), (L, _BCOLS))
+    qf = jnp.zeros((L, _QCOLS), jnp.int32)
+    q_seen = jnp.zeros((L, NQ), dtype=jnp.int32)
+    q_exp = jnp.full((L, NQ), 8, dtype=jnp.int32)
+    lows = jnp.zeros((L, 2 * max_rlen), jnp.uint16)
+    fqs = jnp.zeros((L, 2 * max_rlen), jnp.uint16)
+
+    cols = jnp.arange(_BCOLS, dtype=jnp.int32)[None, :]
+    exp_mix_i = jnp.asarray(EXP_MIX[:, 1:8])      # (8, 7) interior targets
+    ma_mix_i = jnp.asarray(MANT_ADAPT_MIX[:, :, 1])  # (2, 2) interior scalar
+    nq_col = jnp.arange(NQ)[None, :]
+    exp_bounds = [int(EXPONENT[k]) for k in range(1, 8)]
+    boff = jnp.asarray(_BOFF_I[:9], dtype=jnp.int32)   # (9,) segment starts
+    alphas = jnp.asarray(_ALPHA_BY_MODEL, dtype=jnp.int32)
+
+    def hot_read(bank, col):
+        """bank[lane, col] per lane via a masked (L, 256) pass; col = -1
+        reads 0 (the shared no-interior-entry sentinel)."""
+        return jnp.sum(
+            jnp.where(cols == col[:, None], bank, jnp.uint16(0)),
+            axis=1).astype(jnp.int32)
+
+    def body(i, carry):
+        bank, qf, q_seen, q_exp, lows, fqs, ok = carry
+        active = i < rlens
+        sym = chains[:, i].astype(jnp.int32)
+        # exponent class: 7 boundary compares (tables.py EXPONENT)
+        e = jnp.zeros(L, jnp.int32)
+        for b in exp_bounds:
+            e = e + (sym >= b)
+        base = jnp.zeros(L, jnp.int32)
+        for kk in range(1, 8):
+            base = jnp.where(e == kk, jnp.int32(int(EXPONENT[kk])), base)
+        m = sym - base
+
+        is_adaptive = e < _NSW
+        ei = jnp.clip(e, 0, _NSW - 1)
+        qi = jnp.clip(e - _NSW, 0, NQ - 1)
+        midx = jnp.where(is_adaptive, 1 + ei, 3 + qi)
+        mb = boff[midx]
+        malpha = alphas[midx]
+
+        # ---- exponent op (model 0): lo = cum[e], hi = cum[e+1]
+        lo_e = hot_read(bank, jnp.where(e >= 1, e - 1, -1))
+        hi_e = jnp.where(e == 7, jnp.int32(PROB_SCALE),
+                         hot_read(bank, jnp.where(e < 7, e, -1)))
+        fq_e = hi_e - lo_e
+        # ---- mantissa op (model midx >= 1; columns disjoint from exp's)
+        lo_m = hot_read(bank, jnp.where(m >= 1, mb + m - 1, -1))
+        hi_m = jnp.where(m == malpha - 1, jnp.int32(PROB_SCALE),
+                         hot_read(bank, jnp.where(m < malpha - 1, mb + m, -1)))
+        fq_m = hi_m - lo_m
+
+        ok = ok & (((fq_e > 0) & (fq_m > 0)) | ~active)
+        pair_lo = jnp.stack([lo_e, lo_m], axis=1).astype(jnp.uint16)
+        pair_fq = jnp.stack([fq_e, fq_m], axis=1).astype(jnp.uint16)
+        lows = jax.lax.dynamic_update_slice(lows, pair_lo, (0, 2 * i))
+        fqs = jax.lax.dynamic_update_slice(fqs, pair_fq, (0, 2 * i))
+
+        # ---- adaptive updates (identical arithmetic to the decoder)
+        bi = bank.astype(jnp.int32)
+        mix_e = jnp.broadcast_to(exp_mix_i[0], (L, 7))
+        for kk in range(1, 8):
+            mix_e = jnp.where((e == kk)[:, None], exp_mix_i[kk], mix_e)
+        upd_e = bi[:, :7] + ((mix_e - bi[:, :7]) >> RATE)
+        m01 = jnp.clip(m, 0, 1)
+        mix_a = jnp.full((L,), int(MANT_ADAPT_MIX[0, 0, 1]), jnp.int32)
+        for ii in range(2):
+            for jj in range(2):
+                if ii == 0 and jj == 0:
+                    continue
+                mix_a = jnp.where((ei == ii) & (m01 == jj),
+                                  ma_mix_i[ii, jj], mix_a)
+        a_upd = active & is_adaptive
+        ma_cols = bi[:, 7:9]
+        upd_a = ma_cols + ((mix_a[:, None] - ma_cols) >> RATE)
+        ma_mask = jnp.stack([a_upd & (ei == 0), a_upd & (ei == 1)], axis=1)
+        new_head = jnp.concatenate(
+            [jnp.where(active[:, None], upd_e, bi[:, :7]),
+             jnp.where(ma_mask, upd_a, ma_cols)], axis=1)
+        bank = jnp.concatenate(
+            [new_head.astype(jnp.uint16), bank[:, 9:]], axis=1)
+
+        # ---- quasi count/seen updates: the count one-hot comes straight
+        # from the known symbol index
+        q_upd = active & jnp.logical_not(is_adaptive)
+        oh_parts = []
+        for k in range(NQ):
+            a = _QALPHA_L[k]
+            ck = jnp.arange(a, dtype=jnp.int32)[None, :]
+            oh_parts.append((ck == m[:, None]) & (q_upd & (qi == k))[:, None])
+        oh = jnp.concatenate(oh_parts, axis=1)               # (L, 253)
+        qf = qf + jnp.where(oh, jnp.int32(PROB_BITS), 0)
+        q_hit = (nq_col == qi[:, None]) & q_upd[:, None]     # (L, NQ)
+        q_seen = q_seen + q_hit.astype(jnp.int32)
+        seen_row = jnp.sum(jnp.where(q_hit, q_seen, 0), axis=1)
+        exp_row = jnp.sum(jnp.where(q_hit, q_exp, 0), axis=1)
+
+        pred = q_upd & (seen_row > exp_row)
+        bank, qf, q_seen, q_exp = jax.lax.cond(
+            jnp.any(pred),
+            lambda a: _quasi_rescale_all(*a, pred, qi), lambda a: a,
+            (bank, qf, q_seen, q_exp),
+        )
+        return bank, qf, q_seen, q_exp, lows, fqs, ok
+
+    steps = jnp.minimum(jnp.maximum(jnp.max(rlens), 0), max_rlen)
+    out = jax.lax.fori_loop(
+        0, steps, body,
+        (bank, qf, q_seen, q_exp, lows, fqs, jnp.ones(L, bool)))
+    return out[4], out[5], out[6]

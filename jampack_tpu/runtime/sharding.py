@@ -180,8 +180,11 @@ def encode_archive_sharded(inp, out, opt, mesh: Mesh = None, engine=None):
     from ..format import framing
     from ..format.constants import ANS_CHUNK_SIZE
     from .device_encode import encode_block_device, splice_payload
-    from .pipeline import Engine, compress_block
+    from .pipeline import Engine, LZ_MODE_STORE, compress_block
 
+    if opt.match_finder != LZ_MODE_STORE or opt.filters != 0:
+        raise NotImplementedError(
+            "device encode supports match_finder=3 (store) + filters=0")
     mesh = mesh or make_mesh()
     D = mesh.devices.size
     blocks = []

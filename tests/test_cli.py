@@ -66,3 +66,21 @@ def test_cli_info(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "JTX" in out and "units=480 lanes=4" in out
     assert "1 blocks" in out
+
+
+def test_cli_fused_engine(tmp_path):
+    """--engine fused: device-resident block-level encode+decode through
+    the real CLI entry point; archive identical to the host engine's."""
+    data = (b"fused engine cli " * 2500
+            + bytes(RNG.integers(0, 256, 20000, dtype=np.uint8)))
+    src = tmp_path / "in.bin"
+    jam = tmp_path / "f.jam"
+    jam2 = tmp_path / "h.jam"
+    back = tmp_path / "back.bin"
+    src.write_bytes(data)
+    flags = ["-m3", "-f0", "-u16", "-L4", "-c2", "-S8"]
+    run(["jam", "c", str(src), str(jam), "--engine=fused"] + flags)
+    run(["jam", "c", str(src), str(jam2), "--engine=numpy"] + flags)
+    assert jam.read_bytes() == jam2.read_bytes()
+    run(["jam", "d", str(jam), str(back), "--engine=fused"])
+    assert back.read_bytes() == data
