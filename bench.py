@@ -140,6 +140,26 @@ def _e2e_metrics(data: np.ndarray) -> dict:
         out["decode_e2e_hybrid_8mb_gbps"] = f"error: {e}"
 
     try:
+        from jampack_tpu.runtime.device_encode import encode_block_device
+        from jampack_tpu.runtime.pipeline import Options as _O
+
+        # fused device ENCODE (store/filters-off JT3 config): LZ store ->
+        # filters -> Lpx -> forward BWT -> rank -> RLE0 -> reverse rANS in
+        # one jit on the 8 MB block
+        eopt = _O(blocksize=n, match_finder=3, filters=0, rans_lanes=16,
+                  ans_chunk=8 << 10, anchor_units=960, lpx_spans=4096)
+        crc_e, pay_e = encode_block_device(data, eopt)  # warmup/compile
+        t0 = time.time()
+        crc_e, pay_e = encode_block_device(data, eopt)
+        dt = time.time() - t0
+        from jampack_tpu.runtime.engines import NativeEngine as _NE
+        from jampack_tpu.runtime.pipeline import compress_block as _cb
+        assert (crc_e, pay_e) == _cb(data, eopt, _NE())  # byte contract
+        out["encode_e2e_tpu_fused_8mb_mbps"] = round(n / 1e6 / dt, 2)
+    except Exception as e:  # pragma: no cover
+        out["encode_e2e_tpu_fused_8mb_mbps"] = f"error: {e}"
+
+    try:
         from jampack_tpu.runtime.device_decode import decode_block_device
         from jampack_tpu.runtime.engines import NativeEngine
         from jampack_tpu.runtime.pipeline import Options, compress_block
