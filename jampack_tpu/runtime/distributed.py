@@ -73,6 +73,88 @@ def decompress_stream_part(inp, out_dir: str, process_id: int,
     return manifest
 
 
+def compress_stream_part(inp, total_size: int, out_dir: str,
+                         process_id: int, process_count: int, opt,
+                         engine=None) -> dict:
+    """Compress this host's blocks of a seekable raw input.
+
+    Host p owns raw blocks {i : i mod P == p}; each is read at its offset
+    (other hosts' bytes are never touched), compressed, and written FRAMED
+    to `apart<p>` — a stitched archive is just the framed blocks in block
+    order, so the stitch is pure concatenation.  Replicates the feof-driven
+    trailing-empty-block semantics (jampack.cpp:205-214): an input of
+    exactly K*blocksize bytes (including K = 0) carries one extra EMPTY
+    block, owned by whichever host the round robin lands on.
+    Returns the manifest (block index -> framed byte count)."""
+    from .pipeline import compress_block
+
+    os.makedirs(out_dir, exist_ok=True)
+    bs = int(opt.blocksize)
+    n_blocks = (total_size // bs) + 1 if total_size % bs == 0 \
+        else -(-total_size // bs)
+    part_path = os.path.join(out_dir, f"apart{process_id}")
+    sizes = {}
+    import numpy as np
+
+    with open(part_path, "wb") as out:
+        for index in range(n_blocks):
+            if owner(index, process_count) != process_id:
+                continue
+            inp.seek(index * bs)
+            blob = inp.read(min(bs, max(total_size - index * bs, 0)))
+            data = np.frombuffer(blob, dtype=np.uint8)
+            crc, payload = compress_block(data, opt, engine)
+            pos0 = out.tell()
+            framing.write_block(out, crc, payload, opt.blocksize,
+                                opt.anchor_units, opt.rans_lanes,
+                                opt.lpx_spans)
+            sizes[index] = out.tell() - pos0
+    manifest = {"process_id": process_id, "sizes": sizes,
+                "n_blocks": n_blocks}
+    with open(os.path.join(out_dir, f"amanifest{process_id}.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def stitch_archive(out_dir: str, out_path: str, process_count: int) -> int:
+    """Concatenate per-host FRAMED archive parts in block order; returns
+    total archive bytes.  Raises on manifest gaps (a failed host or a
+    mismatched process count) — the encode mirror of stitch()."""
+    from contextlib import ExitStack
+
+    manifests = []
+    n_blocks = None
+    for p in range(process_count):
+        with open(os.path.join(out_dir, f"amanifest{p}.json")) as f:
+            m = json.load(f)
+        manifests.append({int(k): v for k, v in m["sizes"].items()})
+        if n_blocks is None:
+            n_blocks = m["n_blocks"]
+        elif m["n_blocks"] != n_blocks:
+            raise ValueError("hosts disagree on the block count")
+    for index in range(n_blocks):
+        if index not in manifests[owner(index, process_count)]:
+            raise ValueError(
+                f"manifest gap at block {index}: a host part is missing or "
+                f"was produced with a different process count"
+            )
+    total = 0
+    with ExitStack() as stack:
+        readers = [
+            stack.enter_context(
+                open(os.path.join(out_dir, f"apart{p}"), "rb")
+            )
+            for p in range(process_count)
+        ]
+        out = stack.enter_context(open(out_path, "wb"))
+        for index in range(n_blocks):
+            p = owner(index, process_count)
+            size = manifests[p][index]
+            out.write(readers[p].read(size))
+            total += size
+    return total
+
+
 def stitch(out_dir: str, out_path: str, process_count: int) -> int:
     """Concatenate per-host parts in block order; returns total bytes.
 

@@ -44,3 +44,34 @@ def test_multihost_decode_stitch(tmp_path, P):
     total = stitch(out_dir, out_path, P)
     assert total == len(data)
     assert open(out_path, "rb").read() == data
+
+
+@pytest.mark.parametrize("P", [1, 3])
+@pytest.mark.parametrize("tail", ["ragged", "exact"])
+def test_multihost_encode_stitch(tmp_path, P, tail):
+    """P simulated hosts compress disjoint raw-block sets from a seekable
+    input; stitch_archive() reassembles a framed archive byte-identical to
+    the single-process compress_stream's (including the trailing-empty-
+    block feof parity when the input is an exact blocksize multiple)."""
+    from jampack_tpu.runtime.distributed import (
+        compress_stream_part,
+        stitch_archive,
+    )
+
+    bs = 1 << 20
+    n = 3 * bs if tail == "exact" else 3 * bs + 70000
+    data = (b"multi host encode " * (n // 18 + 1))[:n]
+    opt = Options(filters=1, blocksize=bs)
+
+    want = io.BytesIO()
+    compress_stream(io.BytesIO(data), want, opt, engine=NativeEngine())
+
+    out_dir = str(tmp_path / "aparts")
+    for p in range(P):  # simulate P hosts sequentially
+        compress_stream_part(io.BytesIO(data), len(data), out_dir, p, P,
+                             opt, engine=NativeEngine())
+    out_path = str(tmp_path / "stitched.jam")
+    total = stitch_archive(out_dir, out_path, P)
+    got = open(out_path, "rb").read()
+    assert total == len(got)
+    assert got == want.getvalue()
