@@ -96,8 +96,43 @@ def main():
                 "parallel_efficiency_proxy": round(t1 / best, 4),
             }
         out[label] = results
+
+    # ---- encode direction: the sharded fused encode chain on uniform
+    # blocks (the store/filters-off config it supports)
+    from jampack_tpu.runtime.sharding import encode_archive_sharded
+
+    eopt = Options(blocksize=1 << 20, filters=0, match_finder=3,
+                   rans_lanes=4, ans_chunk=2048, anchor_units=16,
+                   lpx_spans=8)
+    blocks = make_blocks(uniform=True)
+    want = io.BytesIO()
+    compress_stream(Chunked(blocks), want, eopt, engine=Engine())
+    eresults = {}
+    t1 = None
+    for d in (1, 2, 4, 8):
+        if d > n_dev:
+            break
+        mesh = make_mesh(d)
+        arc = io.BytesIO()
+        encode_archive_sharded(Chunked(blocks), arc, eopt, mesh)  # warm
+        assert arc.getvalue() == want.getvalue()
+        best = float("inf")
+        for _ in range(3):
+            arc = io.BytesIO()
+            t0 = time.time()
+            encode_archive_sharded(Chunked(blocks), arc, eopt, mesh)
+            best = min(best, time.time() - t0)
+        if d == 1:
+            t1 = best
+        eresults[f"mesh_{d}"] = {
+            "wall_s": round(best, 3),
+            "overhead_vs_1": round(best / t1 - 1, 4),
+            "parallel_efficiency_proxy": round(t1 / best, 4),
+        }
+    out["encode_uniform_blocks"] = eresults
+
     print(json.dumps({
-        "metric": "sharded_decode_mesh_overhead",
+        "metric": "sharded_codec_mesh_overhead",
         "note": "1-core host: D virtual devices serialize; ideal wall is "
                 "flat in D, so t(1)/t(D) proxies multi-host efficiency. "
                 "Ragged batches pay the lockstep max-bound inflation; "
