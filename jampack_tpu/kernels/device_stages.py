@@ -165,6 +165,13 @@ def rank_decode_core(ranks: jnp.ndarray, freqs: jnp.ndarray,
     # of the per-step shift/select passes, which dominate this loop's wall
     r2s = r2s.astype(jnp.uint8)
     cols = jnp.arange(256, dtype=jnp.int32)
+    # bucket cursors are bounded by the chunk length: under 2^15 the cursor
+    # and its end pack into one int32 (cur | end << 16), halving the
+    # per-step one-hot bucket-read traffic; the cursor advance is a +1 on
+    # the low half (cur <= end <= 32767: never carries into the end field)
+    packed = OCAP <= 0x7FFF
+    if packed:
+        bucket = bucket | (bucket_end << 16)
 
     def body(i, carry):
         r2s, bucket, unique, sym, out = carry
@@ -176,8 +183,13 @@ def rank_decode_core(ranks: jnp.ndarray, freqs: jnp.ndarray,
         # one-hot reductions, the bucket advance is a masked add, and the
         # r2s MTF shift + front insert is one fused select chain.
         oh = cols[None, :] == sym.astype(jnp.int32)[:, None]  # (L, 256)
-        cur = jnp.sum(jnp.where(oh, bucket, 0), axis=1)
-        end = jnp.sum(jnp.where(oh, bucket_end, 0), axis=1)
+        if packed:
+            pk = jnp.sum(jnp.where(oh, bucket, 0), axis=1)
+            cur = pk & 0xFFFF
+            end = pk >> 16
+        else:
+            cur = jnp.sum(jnp.where(oh, bucket, 0), axis=1)
+            end = jnp.sum(jnp.where(oh, bucket_end, 0), axis=1)
         has = active & (cur < end)
         rank = ranks[l_idx, jnp.clip(cur, 0, OCAP - 1)].astype(jnp.int32)
         # branch A: bucket has a next rank; branch B: bucket exhausted ->

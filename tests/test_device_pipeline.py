@@ -398,3 +398,22 @@ def test_sharded_archive_encode():
                                        make_mesh(n_dev))
     assert got.getvalue() == want.getvalue()
     assert (raw, comp) == (raw_w, comp_w) and raw == total
+
+
+def test_rank_decode_unpacked_bucket_path():
+    """OCAP > 2^15 takes the two-array bucket path; same bytes as spec."""
+    from jampack_tpu.kernels.device_stages import rank_decode_core
+    from jampack_tpu.stages.rank import rank_decode, rank_encode
+
+    OCAP = 40000
+    n = 700
+    data = _corpus(n)[:n]
+    ranked, freqs = rank_encode(data)
+    ranks = np.zeros((1, OCAP), np.uint8)
+    ranks[0, : ranked.size] = ranked
+    out, ok = jax.jit(rank_decode_core, static_argnames=("out_cap",))(
+        jnp.asarray(ranks), jnp.asarray([freqs], np.int32).reshape(1, 256),
+        jnp.asarray([ranked.size], np.int32), OCAP)
+    assert bool(np.asarray(ok)[0])
+    assert np.array_equal(np.asarray(out)[0, : ranked.size],
+                          rank_decode(ranked, freqs))
