@@ -18,6 +18,13 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# fuzz on the CPU backend: the axon plugin force-overrides jax_platforms,
+# so counter-update before any backend initializes (CLAUDE.md)
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 from diff_fuzz import gen_input  # noqa: E402
 
 from jampack_tpu.runtime.engines import NativeEngine, TpuEngine  # noqa: E402
@@ -59,6 +66,31 @@ def one(seed: int) -> str:
         compress_stream(io.BytesIO(data), arc2, opt, engine=Engine())
         if arc2.getvalue() != blob:
             return f"ENCODER-MISMATCH seed={seed}"
+
+    # fused device encoder (store/filters-off config): byte parity with the
+    # native engine per block under the same randomized stream parameters
+    if len(data) >= 2048:
+        from jampack_tpu.runtime.device_encode import encode_block_device
+        from jampack_tpu.runtime.pipeline import compress_block
+
+        dopt = Options(
+            blocksize=opt.blocksize, match_finder=3, filters=0,
+            anchor_units=min(opt.anchor_units, 240),
+            ans_chunk=min(opt.ans_chunk, 32 << 10),
+            rans_lanes=opt.rans_lanes, lpx_spans=opt.lpx_spans)
+        # snap the block length to a small set: encode_block_core compiles
+        # one variant per distinct n, and fuzz throughput dies re-compiling
+        bn = max(s for s in (2048, 4096, 8192, 16384) if s <= len(data))
+        block = np.frombuffer(data[:bn], dtype=np.uint8)
+        try:
+            got = encode_block_device(block, dopt)
+        except NotImplementedError:
+            got = None  # block below the device minimum
+        except Exception as e:
+            return f"DEVICE-ENCODE-RAISE seed={seed}: {e}"
+        if got is not None and got != compress_block(block, dopt,
+                                                     NativeEngine()):
+            return f"DEVICE-ENCODE-MISMATCH seed={seed}"
     return ""
 
 
