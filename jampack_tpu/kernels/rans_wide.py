@@ -413,20 +413,19 @@ def model_pairs_wide(chains: jnp.ndarray, rlens: jnp.ndarray,
     lows = jnp.zeros((L, 2 * max_rlen), jnp.uint16)
     fqs = jnp.zeros((L, 2 * max_rlen), jnp.uint16)
 
-    cols = jnp.arange(_BCOLS, dtype=jnp.int32)[None, :]
     exp_mix_i = jnp.asarray(EXP_MIX[:, 1:8])      # (8, 7) interior targets
     ma_mix_i = jnp.asarray(MANT_ADAPT_MIX[:, :, 1])  # (2, 2) interior scalar
     nq_col = jnp.arange(NQ)[None, :]
     exp_bounds = [int(EXPONENT[k]) for k in range(1, 8)]
     boff = jnp.asarray(_BOFF_I[:9], dtype=jnp.int32)   # (9,) segment starts
     alphas = jnp.asarray(_ALPHA_BY_MODEL, dtype=jnp.int32)
-
-    def hot_read(bank, col):
-        """bank[lane, col] per lane via a masked (L, 256) pass; col = -1
-        reads 0 (the shared no-interior-entry sentinel)."""
-        return jnp.sum(
-            jnp.where(cols == col[:, None], bank, jnp.uint16(0)),
-            axis=1).astype(jnp.int32)
+    # (256, 2) exact-f32 indicator: column -> [is exp segment, is mantissa]
+    seg2_mat = jnp.asarray(np.stack(
+        [(_SEG_ID == 0), (_SEG_ID != 0)], axis=1).astype(np.float32))
+    seg_start = jnp.asarray(_SEG_START)
+    seg_id = jnp.asarray(_SEG_ID.astype(np.int32))[None, :]      # (1, 256)
+    col_within = jnp.asarray(
+        (np.arange(_BCOLS) - _BOFF[_SEG_ID]).astype(np.int32))[None, :]
 
     def body(i, carry):
         bank, qf, q_seen, q_exp, lows, fqs, ok = carry
@@ -445,21 +444,52 @@ def model_pairs_wide(chains: jnp.ndarray, rlens: jnp.ndarray,
         ei = jnp.clip(e, 0, _NSW - 1)
         qi = jnp.clip(e - _NSW, 0, NQ - 1)
         midx = jnp.where(is_adaptive, 1 + ei, 3 + qi)
-        mb = boff[midx]
         malpha = alphas[midx]
 
-        # ---- exponent op (model 0): lo = cum[e], hi = cum[e+1]
-        lo_e = hot_read(bank, jnp.where(e >= 1, e - 1, -1))
-        hi_e = jnp.where(e == 7, jnp.int32(PROB_SCALE),
-                         hot_read(bank, jnp.where(e < 7, e, -1)))
-        fq_e = hi_e - lo_e
-        # ---- mantissa op (model midx >= 1; columns disjoint from exp's)
-        lo_m = hot_read(bank, jnp.where(m >= 1, mb + m - 1, -1))
-        hi_m = jnp.where(m == malpha - 1, jnp.int32(PROB_SCALE),
-                         hot_read(bank, jnp.where(m < malpha - 1, mb + m, -1)))
-        fq_m = hi_m - lo_m
-
-        ok = ok & (((fq_e > 0) & (fq_m > 0)) | ~active)
+        # ---- both ops' (low, freq) from two shared masks (the symbol is
+        # KNOWN, so no bank compares): lt = interior cols below the symbol
+        # index (lo = their freq sum), oh = the symbol's own interior diff
+        # (its freq).  The exp op lives in segment 0 and the mantissa op in
+        # segment midx >= 1 — disjoint — so a seg0 split separates the two
+        # ops' sums.  On TPU that split is ONE tiny MXU contraction with
+        # an exact-f32 (256, 2) indicator; elsewhere (CPU backend: no MXU,
+        # the dot form measured 2.3x slower) plain masked VPU sums.
+        bshift = jnp.concatenate(
+            [jnp.zeros((L, 1), jnp.uint16), bank[:, :-1]], axis=1)
+        d = (bank - jnp.where(seg_start[None, :], jnp.uint16(0), bshift))
+        sel_idx = jnp.where(seg_id == 0, e[:, None], m[:, None])
+        in_seg = (seg_id == 0) | (seg_id == midx[:, None])
+        lt = in_seg & (col_within < sel_idx)
+        oh = in_seg & (col_within == sel_idx)
+        if jax.default_backend() == "tpu":
+            df = d.astype(jnp.float32)
+            planes = jnp.stack([lt.astype(jnp.float32) * df,
+                                oh.astype(jnp.float32) * df], axis=1)
+            sums = jax.lax.dot_general(
+                planes, seg2_mat, (((2,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)      # (L, 2, 2)
+            lo_e = sums[:, 0, 0].astype(jnp.int32)
+            lo_m = sums[:, 0, 1].astype(jnp.int32)
+            fqp_e = sums[:, 1, 0].astype(jnp.int32)
+            fqp_m = sums[:, 1, 1].astype(jnp.int32)
+        else:
+            is0 = seg_id == 0
+            di = d.astype(jnp.int32)
+            lo_e = jnp.sum(jnp.where(lt & is0, di, 0), axis=1)
+            lo_m = jnp.sum(jnp.where(lt & ~is0, di, 0), axis=1)
+            fqp_e = jnp.sum(jnp.where(oh & is0, di, 0), axis=1)
+            fqp_m = jnp.sum(jnp.where(oh & ~is0, di, 0), axis=1)
+        # the LAST symbol of a model has no interior diff: freq = 2^16-low
+        # (always >= 1 since interior cums stay < 2^16); anywhere else a
+        # zero sum means a zero-frequency op -> failure parity (refuse to
+        # emit an undecodable chunk)
+        last_e = e == 7
+        last_m = m == malpha - 1
+        fq_e = jnp.where(last_e, PROB_SCALE - lo_e, fqp_e)
+        fq_m = jnp.where(last_m, PROB_SCALE - lo_m, fqp_m)
+        ok = ok & ((last_e | (fqp_e > 0)) & (last_m | (fqp_m > 0))
+                   | ~active)
         pair_lo = jnp.stack([lo_e, lo_m], axis=1).astype(jnp.uint16)
         pair_fq = jnp.stack([fq_e, fq_m], axis=1).astype(jnp.uint16)
         lows = jax.lax.dynamic_update_slice(lows, pair_lo, (0, 2 * i))
