@@ -151,25 +151,69 @@ def _ceil_div(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _filters_apply_rows(rows, plens, ftype, width):
+    """Apply the picked filter config to every 64 KB chunk row in lockstep
+    (filters.cpp:21-142 encode direction; configs come from the device
+    search, kernels/filters_search.py).
+
+    rows: (F, FBS) uint8; plens/ftype/width: (F,) i32.
+    Returns the transformed (F, FBS) uint8 payload rows."""
+    from .filters_search import _lpc_all, _reorder_idx
+
+    F, FBS = rows.shape
+    r32 = rows.astype(jnp.int32)
+    w = jnp.maximum(width, 1)
+    j = jnp.arange(FBS, dtype=jnp.int32)[None, :]
+    inb = j < plens[:, None]
+
+    # types 0/1 transform the channel-reordered stream (and store it
+    # reordered); the decode side un-reorders after the inverse transform
+    ro = jax.vmap(_reorder_idx)(plens, w)
+    reordered = jnp.where(inb, jnp.take_along_axis(r32, ro, axis=1), 0)
+    shifted = jnp.concatenate(
+        [jnp.zeros((F, 1), jnp.int32), reordered[:, :-1]], axis=1)
+    delta = (reordered - shifted) & 0xFF
+
+    any_lpc = jnp.any((ftype == 1) & (width > 0))
+    lpc = jax.lax.cond(
+        any_lpc, lambda r: _lpc_all(r, plens), lambda r: r, reordered)
+
+    # type 2: per-channel delta in place, head [0, align + w) kept raw
+    align = plens % w
+    src = jnp.clip(j - w[:, None], 0, FBS - 1)
+    can = (j - w[:, None]) >= align[:, None]
+    prev = jnp.take_along_axis(r32, src, axis=1)
+    inline = (r32 - jnp.where(can, prev, 0)) & 0xFF
+
+    out = jnp.where(ftype[:, None] == 2, inline,
+                    jnp.where(ftype[:, None] == 1, lpc, delta))
+    out = jnp.where(width[:, None] > 0, out, r32)
+    return jnp.where(inb, out, 0).astype(jnp.uint8)
+
+
 @partial(jax.jit, static_argnames=("n", "units", "chunk", "lanes",
                                    "lpx_spans"))
-def encode_block_core(data: jnp.ndarray, n: int, units: int, chunk: int,
-                      lanes: int, lpx_spans: int):
+def encode_block_core(data: jnp.ndarray, fconfigs=None, *, n: int,
+                      units: int, chunk: int, lanes: int, lpx_spans: int):
     """The whole per-block ENCODE chain, device-resident under one jit:
 
-        LZ store framing -> filters=0 headers -> Lpx -> LZ store framing
+        LZ store framing -> filters -> Lpx -> LZ store framing
         -> forward BWT + anchors -> per chunk: SRC rank -> RLE0
         -> per chain: model pass -> reverse interleaved rANS
 
     the device mirror of the reference's per-block Comp() sequence
-    (jampack.cpp:30-42) in the store/filters-off configuration, where every
-    stage length is a static function of the block length `n` — so the
-    whole chain compiles with static shapes (one jit variant per distinct
-    block size; archives keep it constant except for the ragged tail).
+    (jampack.cpp:30-42) in the store configuration, where every stage
+    length is a static function of the block length `n` — filter output
+    is config-independent in length, so this holds for -f0/-f1/-f2 alike
+    and the whole chain compiles with static shapes (one jit variant per
+    distinct block size; archives keep it constant except the ragged
+    tail).
 
-    data: (n,) uint8.  Returns (bufs (NL, 4*max_rlen+16) u8 payload
-    buffers, ptrs (NL,), oks (NL,), freqs (C, 256) i32, rlens (C,)) for
-    the host splicer — NL = C * max(lanes, 1) chains in chunk-major order.
+    data: (n,) uint8.  fconfigs: None for -f0 passthrough, else the
+    (F, 2) i32 per-chunk (type, width) picks from the device filter
+    search.  Returns (bufs (NL, 4*max_rlen+16) u8 payload buffers,
+    ptrs (NL,), oks (NL,), freqs (C, 256) i32, rlens (C,)) for the host
+    splicer — NL = C * max(lanes, 1) chains in chunk-major order.
     """
     from ..format.constants import FILTER_BLOCK_SIZE, LZ_MIN_MATCH
     from ..stages.lz77 import write_token
@@ -184,16 +228,27 @@ def encode_block_core(data: jnp.ndarray, n: int, units: int, chunk: int,
     tokj = jnp.asarray(tok)
     FBS = FILTER_BLOCK_SIZE
 
-    # ---- 1. LZ store + 2. filters=0 chunk headers, fused as ONE scatter:
-    # source byte i of [token | data] lands at (i//FBS)*(FBS+2) + 2 + i%FBS;
-    # the (0,0) headers are the zero-init
+    # ---- 1. LZ store + 2. filters: deal [token | data] into 64 KB chunk
+    # rows, transform each by its picked config (passthrough for -f0), and
+    # emit the 2-byte (type, width) headers inline — a reshape/concat, no
+    # scatter (headers sit at fixed strides, filters.cpp:416-427)
     n1 = n + T
     nf = _ceil_div(n1, FBS)
     n2 = n1 + 2 * nf
     s1 = jnp.concatenate([tokj, data])
-    i1 = jnp.arange(n1, dtype=jnp.int32)
-    dst = (i1 // FBS) * (FBS + 2) + 2 + (i1 % FBS)
-    s2 = jnp.zeros(n2, jnp.uint8).at[dst].set(s1)
+    rows1 = jnp.zeros(nf * FBS, jnp.uint8).at[: n1].set(s1).reshape(nf, FBS)
+    plens = jnp.asarray(
+        np.minimum(FBS, n1 - FBS * np.arange(nf)).astype(np.int32))
+    if fconfigs is None:
+        hdr = jnp.zeros((nf, 2), jnp.uint8)
+        payload_rows = rows1
+    else:
+        ftype = fconfigs[:, 0]
+        width = fconfigs[:, 1]
+        payload_rows = _filters_apply_rows(rows1, plens, ftype, width)
+        hdr = jnp.stack(
+            [jnp.where(width > 0, ftype, 0), width], axis=1).astype(jnp.uint8)
+    s2 = jnp.concatenate([hdr, payload_rows], axis=1).reshape(-1)[:n2]
 
     # ---- 3. Lpx (span-parallel XOR prediction), same-size
     s2 = lpx_dyn_core(s2, jnp.int32(n2), n2, decode=False, spans=lpx_spans)

@@ -389,11 +389,11 @@ def sorted_entropy_scores_core(streams: jnp.ndarray, lens: jnp.ndarray,
             - jnp.sum(xlogx(joint), axis=(1, 2))) / n
 
 
-def filters_encode_f1_device(data: np.ndarray) -> np.ndarray:
-    """-f1 heuristic with device sorted-entropy scoring; byte-identical to
-    stages.filters.filters_encode(data, 1).  Candidate transforms build on
-    device-side batched ops; stride/projection detection is the sort-based
-    vectorized host form; near-tie picks re-score in float64."""
+def pick_f1_configs(data: np.ndarray):
+    """Reference -f1 heuristic selection with device sorted-entropy
+    scoring; picks match stages.filters.filters_encode(data, 1) exactly
+    (near-tie candidates re-score in float64).  Returns [(type, width)]
+    per chunk."""
     from ..stages.filters import _apply, sorted_entropy
 
     data = np.asarray(data, dtype=np.uint8)
@@ -431,7 +431,7 @@ def filters_encode_f1_device(data: np.ndarray) -> np.ndarray:
     for k, (i, t, w) in enumerate(owners):
         scored[(i, t, w)] = float(dev[k])
 
-    out = bytearray()
+    picks = []
     prev_t, prev_w = 0, 0
     exact_cache = {}
 
@@ -461,8 +461,21 @@ def filters_encode_f1_device(data: np.ndarray) -> np.ndarray:
                 if s < best:
                     best = s
                     best_t, best_w = t, w
-        out.append(best_t if best_w > 0 else 0)
-        out.append(best_w)
-        out += _apply(chunks[i], best_t, best_w).tobytes()
+        picks.append((best_t, best_w))
         prev_t, prev_w = best_t, best_w
+    return picks
+
+
+def filters_encode_f1_device(data: np.ndarray) -> np.ndarray:
+    """-f1 heuristic with device sorted-entropy scoring; byte-identical to
+    stages.filters.filters_encode(data, 1)."""
+    from ..stages.filters import _apply
+
+    data = np.asarray(data, dtype=np.uint8)
+    out = bytearray()
+    for i, (t, w) in enumerate(pick_f1_configs(data)):
+        chunk = data[i * _FBS: (i + 1) * _FBS]
+        out.append(t if w > 0 else 0)
+        out.append(w)
+        out += _apply(chunk, t, w).tobytes()
     return np.frombuffer(bytes(out), dtype=np.uint8)

@@ -22,6 +22,25 @@ from ..stages.ans import write_chunk_header
 from .pipeline import LZ_MODE_STORE, Options
 
 
+def filter_configs(data: np.ndarray, filters: int):
+    """Per-64KB-chunk (type, width) picks for the fused chain's filter
+    stage, computed over the store-framed stage-1 buffer [token | data]
+    (the filters' actual input, jampack.cpp:36-37).  The picks come from
+    the device search with host f64 near-tie re-scoring, so they match
+    the host engines' exactly.  None for -f0 (passthrough headers)."""
+    if filters == 0:
+        return None
+    from ..format.constants import LZ_MIN_MATCH
+    from ..kernels.filters_search import pick_f1_configs, pick_f2_configs
+    from ..stages.lz77 import write_token
+
+    s1 = np.concatenate([
+        np.frombuffer(write_token(LZ_MIN_MATCH, LZ_MIN_MATCH, 0), np.uint8),
+        np.asarray(data, dtype=np.uint8)])
+    picks = (pick_f1_configs if filters == 1 else pick_f2_configs)(s1)
+    return np.asarray(picks, dtype=np.int32).reshape(-1, 2)
+
+
 def encode_block_device(data: np.ndarray, opt: Options):
     """Encode one block entirely on device; returns (crc, payload bytes).
 
@@ -33,9 +52,9 @@ def encode_block_device(data: np.ndarray, opt: Options):
 
     from ..kernels.encode_stages import encode_block_core
 
-    if opt.match_finder != LZ_MODE_STORE or opt.filters != 0:
+    if opt.match_finder != LZ_MODE_STORE or opt.filters not in (0, 1, 2):
         raise NotImplementedError(
-            "device encode supports match_finder=3 (store) + filters=0")
+            "device encode supports match_finder=3 (store) + filters 0/1/2")
     data = np.ascontiguousarray(np.asarray(data, dtype=np.uint8))
     n = int(data.size)
     crc = _checksum.integrity_check(data)
@@ -47,8 +66,8 @@ def encode_block_device(data: np.ndarray, opt: Options):
     lanes = int(opt.rans_lanes)
 
     bufs, ptrs, oks, freqs, rlens = encode_block_core(
-        jnp.asarray(data), n=n, units=units, chunk=chunk, lanes=lanes,
-        lpx_spans=int(opt.lpx_spans))
+        jnp.asarray(data), filter_configs(data, opt.filters), n=n,
+        units=units, chunk=chunk, lanes=lanes, lpx_spans=int(opt.lpx_spans))
     bufs = np.asarray(jax.device_get(bufs))
     ptrs = np.asarray(jax.device_get(ptrs))
     oks = np.asarray(jax.device_get(oks))

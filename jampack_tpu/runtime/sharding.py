@@ -135,14 +135,16 @@ def sharded_full_decode_step(mesh: Mesh, lanes: int, units: int, shapes,
 
 
 def sharded_full_encode_step(mesh: Mesh, n: int, units: int, chunk: int,
-                             lanes: int, lpx_spans: int):
+                             lanes: int, lpx_spans: int,
+                             with_filters: bool = False):
     """The multi-chip ENCODE mirror of sharded_full_decode_step: each
     device runs the entire per-block encode chain (LZ store framing ->
     filters -> Lpx -> forward BWT -> rank -> RLE0 -> reverse rANS) on its
     own raw block — the device counterpart of the reference's parallel
     compress loop (jampack.cpp:215-219 running jampack.cpp:30-42 per
     instance).  One block per device per call; n is the (static) block
-    length shared by the batch."""
+    length shared by the batch.  with_filters adds the per-block (F, 2)
+    filter-config operand (picks from the host-side device search)."""
     from functools import partial as _partial
 
     from ..kernels.encode_stages import encode_block_core
@@ -150,17 +152,28 @@ def sharded_full_encode_step(mesh: Mesh, n: int, units: int, chunk: int,
     core = _partial(encode_block_core, n=n, units=units, chunk=chunk,
                     lanes=lanes, lpx_spans=lpx_spans)
 
-    def per_shard(blocks):
-        bufs, ptrs, oks, freqs, rlens = core(blocks[0])
-        done = jax.lax.psum(jnp.int32(1), axis_name="data")
-        return (bufs[None], ptrs[None], oks[None], freqs[None], rlens[None],
-                done)
+    if with_filters:
+        def per_shard(blocks, fconfigs):
+            bufs, ptrs, oks, freqs, rlens = core(blocks[0], fconfigs[0])
+            done = jax.lax.psum(jnp.int32(1), axis_name="data")
+            return (bufs[None], ptrs[None], oks[None], freqs[None],
+                    rlens[None], done)
+
+        in_specs = (P("data", None), P("data", None, None))
+    else:
+        def per_shard(blocks):
+            bufs, ptrs, oks, freqs, rlens = core(blocks[0])
+            done = jax.lax.psum(jnp.int32(1), axis_name="data")
+            return (bufs[None], ptrs[None], oks[None], freqs[None],
+                    rlens[None], done)
+
+        in_specs = (P("data", None),)
 
     return jax.jit(
         shard_map(
             per_shard,
             mesh,
-            (P("data", None),),
+            in_specs,
             (P("data", None, None), P("data", None), P("data", None),
              P("data", None, None), P("data", None), P()),
         )
@@ -179,12 +192,13 @@ def encode_archive_sharded(inp, out, opt, mesh: Mesh = None, engine=None):
     from ..format import checksum as _checksum
     from ..format import framing
     from ..format.constants import ANS_CHUNK_SIZE
-    from .device_encode import encode_block_device, splice_payload
+    from .device_encode import (encode_block_device, filter_configs,
+                                splice_payload)
     from .pipeline import Engine, LZ_MODE_STORE, compress_block
 
-    if opt.match_finder != LZ_MODE_STORE or opt.filters != 0:
+    if opt.match_finder != LZ_MODE_STORE or opt.filters not in (0, 1, 2):
         raise NotImplementedError(
-            "device encode supports match_finder=3 (store) + filters=0")
+            "device encode supports match_finder=3 (store) + filters 0/1/2")
     mesh = mesh or make_mesh()
     D = mesh.devices.size
     blocks = []
@@ -221,15 +235,21 @@ def encode_archive_sharded(inp, out, opt, mesh: Mesh = None, engine=None):
             crcs[i], payloads[i] = encode_block_device(blocks[i], opt)
             continue
         step = sharded_full_encode_step(mesh, n, units, chunk, lanes,
-                                        int(opt.lpx_spans))
+                                        int(opt.lpx_spans),
+                                        with_filters=opt.filters > 0)
         sharding1 = NamedSharding(mesh, P("data", None))
+        sharding2 = NamedSharding(mesh, P("data", None, None))
         for b0 in range(0, len(idxs), D):
             batch = idxs[b0 : b0 + D]
             stack = [blocks[i] for i in batch]
+            cfgs = [filter_configs(blocks[i], opt.filters) for i in batch]
             while len(stack) < D:  # pad the final batch with block 0
                 stack.append(stack[0])
-            arg = jax.device_put(np.stack(stack), sharding1)
-            bufs, ptrs, oks, freqs, rlens, _ = step(arg)
+                cfgs.append(cfgs[0])
+            args = [jax.device_put(np.stack(stack), sharding1)]
+            if opt.filters > 0:
+                args.append(jax.device_put(np.stack(cfgs), sharding2))
+            bufs, ptrs, oks, freqs, rlens, _ = step(*args)
             bufs = np.asarray(jax.device_get(bufs))
             ptrs = np.asarray(jax.device_get(ptrs))
             oks = np.asarray(jax.device_get(oks))

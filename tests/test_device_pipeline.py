@@ -338,19 +338,22 @@ def test_rank_encode_device_matches_spec():
         assert np.array_equal(freqs[l], np.asarray(wf, np.int64))
 
 
-@pytest.mark.parametrize("lanes,chunk,spans,units", [
-    (0, 4096, 4, 120),
-    (4, 2048, 16, 16),
-    (16, 2048, 64, 24),
+@pytest.mark.parametrize("lanes,chunk,spans,units,filters", [
+    (0, 4096, 4, 120, 0),
+    (4, 2048, 16, 16, 0),
+    (16, 2048, 64, 24, 0),
+    (4, 2048, 8, 16, 1),
+    (4, 2048, 8, 16, 2),
 ])
-def test_fused_device_encode(lanes, chunk, spans, units):
+def test_fused_device_encode(lanes, chunk, spans, units, filters):
     """encode_block_device archives must be byte-identical to the host
-    engines' for the same Options (no silent divergence across engines)."""
+    engines' for the same Options (no silent divergence across engines) —
+    including -f1/-f2 through the device search + device transforms."""
     from jampack_tpu.runtime.device_encode import encode_block_device
     from jampack_tpu.runtime.pipeline import decompress_block
 
     data = _corpus(9000)
-    opt = Options(blocksize=1 << 20, match_finder=3, filters=0,
+    opt = Options(blocksize=1 << 20, match_finder=3, filters=filters,
                   rans_lanes=lanes, ans_chunk=chunk, lpx_spans=spans,
                   anchor_units=units)
     crc_d, pay_d = encode_block_device(data, opt)
@@ -369,8 +372,9 @@ def test_fused_device_encode_rejects_unsupported():
         encode_block_device(_corpus(5000),
                             Options(match_finder=0, filters=0))
     with pytest.raises(NotImplementedError):
-        encode_block_device(_corpus(5000),
-                            Options(match_finder=3, filters=1))
+        # too small for the device chain (units=120 -> min 1024... use 0)
+        encode_block_device(_corpus(5000)[:512],
+                            Options(match_finder=3, filters=0))
 
 
 def test_sharded_archive_encode():
@@ -386,7 +390,8 @@ def test_sharded_archive_encode():
     total = (n_dev + 2) * blocksize + 800
     data = _corpus(total)[:total].tobytes()
 
-    opt = Options(blocksize=1 << 20, match_finder=3, filters=0, rans_lanes=4,
+    # -f2 exercises the device filter search + device transforms per block
+    opt = Options(blocksize=1 << 20, match_finder=3, filters=2, rans_lanes=4,
                   ans_chunk=2048, anchor_units=16, lpx_spans=8)
     opt.blocksize = blocksize  # test-only: below MIN_BLOCKSIZE on purpose
 
