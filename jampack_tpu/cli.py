@@ -10,7 +10,7 @@ off — framework extension, archives stay reference-decodable), -f filters (0 o
 single-block low-memory decode.
 Extra: --engine numpy|native|tpu|hybrid|fused (default native; fused = the
 device-resident block-level chain, one block per device across the local
-mesh — encode needs -m3 -f0); JTX/JT3 stream
+mesh — encode needs -m3 and -f0/1/2); JTX/JT3 stream
 parameters -u# BWT anchor units, -c# ANS chunk KB, -L# rANS lane-interleave
 width, -S# Lpx span count (intra-block Lpx parallel width).
 """
@@ -184,7 +184,7 @@ def run(argv):
     if engine_name == "fused":
         # the device-resident block-level paths: the whole per-block chain
         # in one jit per block, one block per device across the local mesh
-        # (encode needs -m3 -f0; decode reads any archive)
+        # (encode needs -m3 and -f0/1/2; decode reads any archive)
         from .runtime.sharding import (decode_archive_sharded,
                                        encode_archive_sharded, make_mesh)
 
