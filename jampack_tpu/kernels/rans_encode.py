@@ -83,17 +83,23 @@ def rans_reverse_encode(lows: jnp.ndarray, fqs: jnp.ndarray,
     R = jnp.full(4, RANS_BYTE_L, dtype=jnp.uint32)
     ptr = jnp.int32(size)
     nops = 2 * rlen
+    # one packed (low | freq << 16) word per op: halves the per-step
+    # dynamic-index read (the loop's random-access cost under vmap)
+    pairs = lows.astype(jnp.uint32) | (fqs.astype(jnp.uint32) << 16)
 
     def body(k, carry):
         R, buf, ptr = carry
         i = nops - 1 - k
-        fq = fqs[i].astype(jnp.uint32)
-        lo = lows[i].astype(jnp.uint32)
+        pf = pairs[i]
+        fq = pf >> 16
+        lo = pf & jnp.uint32(0xFFFF)
         x = R[3]
-        # renormalize: emit low bytes while x >= x_max (rans_byte.hpp:83-95);
-        # at most 3 emissions from a 32-bit state with freq >= 1
+        # renormalize: emit low bytes while x >= x_max (rans_byte.hpp:83-95).
+        # TWO emissions always suffice: pre-renorm x < 2^31 (the previous
+        # advance is bounded by (x_max/fq) << 16 = 2^31) and x_max =
+        # 2^15 * fq >= 2^15, so (x >> 16) < 2^15 <= x_max.
         x_max = ((jnp.uint32(RANS_BYTE_L) >> PROB_BITS) << 8) * fq
-        for _ in range(3):
+        for _ in range(2):
             need = x >= x_max
             # drop-mode scatter with an out-of-bounds index when no byte is
             # emitted (negative indices are not reliably OOB in scatters)
