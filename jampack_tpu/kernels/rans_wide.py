@@ -92,9 +92,7 @@ _QCOLS = int(_QOFF[-1])
 
 _PACK = 1 << 17  # symbol-index packing stride in the freq plane
 
-# static per-model interior-cum column starts / alphabet sizes, for the
-# encode-side known-symbol lookups
-_BOFF_I = [int(x) for x in _BOFF]
+# per-model alphabet sizes, for the encode-side known-symbol lookups
 _ALPHA_BY_MODEL = list(_ALPHAS)
 
 
@@ -417,7 +415,6 @@ def model_pairs_wide(chains: jnp.ndarray, rlens: jnp.ndarray,
     ma_mix_i = jnp.asarray(MANT_ADAPT_MIX[:, :, 1])  # (2, 2) interior scalar
     nq_col = jnp.arange(NQ)[None, :]
     exp_bounds = [int(EXPONENT[k]) for k in range(1, 8)]
-    boff = jnp.asarray(_BOFF_I[:9], dtype=jnp.int32)   # (9,) segment starts
     alphas = jnp.asarray(_ALPHA_BY_MODEL, dtype=jnp.int32)
     # (256, 2) exact-f32 indicator: column -> [is exp segment, is mantissa]
     seg2_mat = jnp.asarray(np.stack(
