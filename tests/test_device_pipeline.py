@@ -424,3 +424,33 @@ def test_rank_decode_unpacked_bucket_path():
     assert bool(np.asarray(ok)[0])
     assert np.array_equal(np.asarray(out)[0, : ranked.size],
                           rank_decode(ranked, freqs))
+
+
+def test_model_pairs_wide_matches_chain():
+    """The lockstep wide model pass (encode) is op-exact with the scalar
+    per-chain pass across adaptive and quasi regimes, including rescale
+    steps and ragged lane lengths."""
+    from jampack_tpu.kernels.rans_encode import model_chain_pairs
+    from jampack_tpu.kernels.rans_wide import model_pairs_wide
+
+    MR = 1500
+    chains = np.zeros((3, MR), np.uint16)
+    rlens = np.zeros(3, np.int32)
+    rng = np.random.default_rng(12)
+    chains[0, :1500] = rng.integers(0, 257, 1500)   # full-range quasi
+    rlens[0] = 1500
+    chains[1, :900] = rng.integers(0, 3, 900)       # adaptive-heavy
+    rlens[1] = 900
+    rlens[2] = 0                                    # empty lane
+    lo_w, fq_w, ok_w = model_pairs_wide(jnp.asarray(chains),
+                                        jnp.asarray(rlens), MR)
+    lo_w, fq_w, ok_w = map(np.asarray, (lo_w, fq_w, ok_w))
+    for l in range(3):
+        lo_c, fq_c, ok_c = model_chain_pairs(
+            jnp.asarray(chains[l]), jnp.int32(rlens[l]), MR)
+        assert bool(ok_c) == bool(ok_w[l])
+        k = 2 * rlens[l]
+        assert np.array_equal(lo_w[l, :k].astype(np.int32),
+                              np.asarray(lo_c)[:k])
+        assert np.array_equal(fq_w[l, :k].astype(np.int32),
+                              np.asarray(fq_c)[:k])
