@@ -44,7 +44,33 @@ def _sync(arr) -> int:
     return int(np.asarray(arr.ravel()[0]))
 
 
+def _watchdog(seconds: int = 1800):
+    """The tunneled TPU backend can HANG indefinitely on init when the
+    tunnel is down (observed 2026-08-17: every jax.devices() probe blocked
+    past any timeout).  Emit a diagnostic metric line and hard-exit rather
+    than wedging the driver's bench step."""
+    import os
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "bwt_codec_tpu_combined_8mb",
+            "value": 0.0,
+            "unit": "GB/s/chip",
+            "vs_baseline": 0.0,
+            "error": f"device init/run exceeded {seconds}s "
+                     "(TPU tunnel down?)",
+        }), flush=True)
+        os._exit(1)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
+    wd = _watchdog()
     import jax
     import jax.numpy as jnp
 
@@ -101,6 +127,7 @@ def main():
         "vs_baseline": round(value / REF_BWT_COMBINED_GBPS, 3),
         "extra": _e2e_metrics(data),
     }
+    wd.cancel()
     print(json.dumps(result))
     if not exact:
         print("WARNING: inverse mismatch", file=sys.stderr)
