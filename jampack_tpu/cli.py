@@ -190,15 +190,20 @@ def run(argv):
 
         mesh = make_mesh()
         start = time.time()
+        progress = _Progress("compressing" if mode == "c"
+                             else "decompressing")
         with open(inp, "rb") as fin, open(outp, "wb") as fout:
             if mode == "c":
-                raw, comp = encode_archive_sharded(fin, fout, opt, mesh)
+                raw, comp = encode_archive_sharded(fin, fout, opt, mesh,
+                                                   progress=progress.update)
             elif mode == "d":
-                data = decode_archive_sharded(fin, mesh)
+                data = decode_archive_sharded(fin, mesh,
+                                              progress=progress.update)
                 fout.write(data)
                 raw, comp = len(data), fin.tell()
             else:
                 raise SystemExit("Invalid option!")
+        progress.done()
         dt = time.time() - start
         ratio = (comp / raw * 100) if raw else 0.0
         rate = (raw / 1e6) / dt if dt > 0 else 0.0

@@ -180,7 +180,8 @@ def sharded_full_encode_step(mesh: Mesh, n: int, units: int, chunk: int,
     )
 
 
-def encode_archive_sharded(inp, out, opt, mesh: Mesh = None, engine=None):
+def encode_archive_sharded(inp, out, opt, mesh: Mesh = None, engine=None,
+                           progress=None):
     """Compress a whole stream with one raw block per device: reads blocks
     on the host, runs the fused device encode chain across the mesh in
     batches of mesh size (equal-length blocks batch together; the ragged
@@ -218,6 +219,14 @@ def encode_archive_sharded(inp, out, opt, mesh: Mesh = None, engine=None):
     dev_min = max(4 * units, 1024)
     payloads = [None] * len(blocks)
     crcs = [0] * len(blocks)
+    done = [0, 0]  # (raw, comp) bytes with a finished payload
+
+    def _tick(i):
+        if progress is None:
+            return
+        done[0] += blocks[i].size
+        done[1] += len(payloads[i])
+        progress(done[0], done[1])
 
     # group device-eligible blocks by length (archives keep the block size
     # constant except the tail, so this is one group + maybe one straggler)
@@ -228,11 +237,13 @@ def encode_archive_sharded(inp, out, opt, mesh: Mesh = None, engine=None):
         else:  # tiny tail: host engine, byte-identical by construction
             crcs[i], payloads[i] = compress_block(blk, opt,
                                                   engine or Engine())
+            _tick(i)
 
     for n, idxs in by_len.items():
         if len(idxs) == 1:
             i = idxs[0]
             crcs[i], payloads[i] = encode_block_device(blocks[i], opt)
+            _tick(i)
             continue
         step = sharded_full_encode_step(mesh, n, units, chunk, lanes,
                                         int(opt.lpx_spans),
@@ -263,6 +274,7 @@ def encode_archive_sharded(inp, out, opt, mesh: Mesh = None, engine=None):
                 payloads[i] = splice_payload(
                     bufs[j], ptrs[j], freqs[j], rlens[j], n, units, chunk,
                     lanes)
+                _tick(i)
 
     raw = comp = 0
     for i, blk in enumerate(blocks):
@@ -273,7 +285,7 @@ def encode_archive_sharded(inp, out, opt, mesh: Mesh = None, engine=None):
     return raw, comp
 
 
-def decode_archive_sharded(inp, mesh: Mesh = None):
+def decode_archive_sharded(inp, mesh: Mesh = None, progress=None):
     """Decode a whole archive (file object) with one framed block per
     device: reads + meta-parses block headers on the host (format metadata
     only), runs the fused device decode chain across the mesh in batches of
@@ -308,6 +320,7 @@ def decode_archive_sharded(inp, mesh: Mesh = None):
     sharding2 = NamedSharding(mesh, P("data", None, None))
 
     out_parts = [None] * len(recs)
+    done_raw = done_comp = 0
     for b0 in range(0, len(recs), D):
         batch = list(range(b0, min(b0 + D, len(recs))))
         packed = [pack_meta(metas[i], recs[i][1], shapes) for i in batch]
@@ -330,6 +343,10 @@ def decode_archive_sharded(inp, mesh: Mesh = None):
             if _checksum.integrity_check(data) != (recs[i][0].crc & 0xFFFFFFFF):
                 raise ValueError("detected corrupt block")
             out_parts[i] = data.tobytes()
+            if progress is not None:
+                done_raw += data.size
+                done_comp += recs[i][0].csize
+                progress(done_raw, done_comp)
     return b"".join(out_parts)
 
 
