@@ -253,3 +253,19 @@ def test_exact_multiple_trailing_empty_block(oracle, tmp_path):
         out = io.BytesIO()
         decompress_stream(open(ref_arc, "rb"), out, engine=ne)
         assert out.getvalue() == data
+
+
+def test_m3_store_mode_golden_bytes(oracle, tmp_path):
+    """-m3 (store) format lock: encode determinism against the fixture
+    written when the mode was introduced, and the reference binary must
+    decode it (the mode uses only reference-legal format elements)."""
+    arc = io.BytesIO()
+    compress_stream(io.BytesIO(GOLDEN_INPUT), arc,
+                    Options(filters=1, match_finder=3),
+                    engine=NativeEngine())
+    assert arc.getvalue() == _read("golden_m3.jam")
+    jam = tmp_path / "m3.jam"
+    jam.write_bytes(arc.getvalue())
+    out = tmp_path / "m3.out"
+    oracle.decompress(jam, out, "-t1")
+    assert out.read_bytes() == GOLDEN_INPUT
