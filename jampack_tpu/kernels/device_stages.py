@@ -496,13 +496,18 @@ from .lpx_tpu import _code_span
 
 def lpx_dyn_core(buf: jnp.ndarray, n, out_cap: int, decode: bool,
                  spans: int = 4):
-    """Lpx over a dynamic-length stream: the split (stages.lpx _split_spans)
-    yields `spans` equal sub-blocks of b = n//spans plus an n%spans tail
-    span (empty when spans | n; b == 0 for tiny inputs degenerates to one
-    span).  spans = 4 is the reference's format-fixed split
-    (lpx.cpp:150-169); JT3 streams carry it as a parameter — span count is
-    the intra-block parallel width of this irreducibly serial model, so it
-    directly divides the lockstep walk length."""
+    """Lpx over a dynamic-length stream.  The format split
+    (stages.lpx _split_spans) is ceil(n/b) contiguous pieces of
+    b = n//spans, the last <= b.  With traced n the kernel's static
+    (spans+1)-lane layout covers exactly the streams with
+    n % spans <= n // spans — S full pieces plus one ragged tail (and the
+    b == 0 tiny degenerate as a single span).  Streams outside that
+    regime (more than spans+1 pieces; only reachable when n < spans^2)
+    are FLAGGED, not decoded: returns (out, supported) and callers fall
+    back to a host engine.  spans = 4 is the reference's format-fixed
+    split (lpx.cpp:150-169); JT3 streams carry it as a parameter — span
+    count is the intra-block parallel width of this irreducibly serial
+    model, so it directly divides the lockstep walk length."""
     S = spans
     b = n // S
     # the tail span is < S long and a main span is <= out_cap//S long, so
@@ -510,6 +515,8 @@ def lpx_dyn_core(buf: jnp.ndarray, n, out_cap: int, decode: bool,
     # every (S+1, span_cap) array (and the deal/undeal data movement) 1.5x
     span_cap = max(out_cap // S, S) + 4
     tiny = b == 0
+    # the (S+1)-lane layout is exact iff the ragged tail fits one piece
+    supported = tiny | ((n - S * b) <= b)
     starts = jnp.where(
         tiny,
         jnp.zeros(S + 1, jnp.int32),
@@ -557,7 +564,7 @@ def lpx_dyn_core(buf: jnp.ndarray, n, out_cap: int, decode: bool,
                              starts[:, None] + jj[None, :], out_cap)
         out = jnp.zeros(out_cap + 1, jnp.uint8).at[flat_pos.reshape(-1)].set(
             outs.reshape(-1), mode="drop")[:out_cap]
-    return out
+    return out, supported
 
 
 # ---------------------------------------------------------------------------
@@ -727,11 +734,15 @@ def decode_block_core(payload: jnp.ndarray, starts: jnp.ndarray,
     # ---- 6..9. inverse BWT, LZ (mode), Lpx, filters, LZ (dedupe)
     stage, n, ib_ok = ibwt_dyn_core(stage, total, units, out_cap)
     stage, n, lz1_ok = lz_decode_dyn_core(stage, n, max_tokens, out_cap)
-    stage = lpx_dyn_core(stage, n, out_cap, decode=True, spans=lpx_spans)
+    stage, lpx_sup = lpx_dyn_core(stage, n, out_cap, decode=True,
+                                  spans=lpx_spans)
     stage, n, f_ok = filters_decode_dyn_core(stage, n, out_cap)
     out, n, lz0_ok = lz_decode_dyn_core(stage, n, max_tokens, out_cap)
 
     active = rlens >= 0
     ok = (jnp.all(eok | ~active) & jnp.all(rle_ok | (chunk_olens <= 0))
           & jnp.all(rank_ok) & ib_ok & lz1_ok & f_ok & lz0_ok)
-    return out, n, ok
+    # lpx_sup False means the stream's span split exceeds the kernel's
+    # static lane layout (valid stream, device-unsupported shape): the
+    # caller must fall back to a host engine, NOT report corruption
+    return out, n, ok, lpx_sup

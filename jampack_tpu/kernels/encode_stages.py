@@ -217,7 +217,6 @@ def encode_block_core(data: jnp.ndarray, fconfigs=None, *, n: int,
     """
     from ..format.constants import FILTER_BLOCK_SIZE, LZ_MIN_MATCH
     from ..stages.lz77 import write_token
-    from .device_stages import lpx_dyn_core
     from .rans_encode import rans_reverse_encode
     from .rans_wide import model_pairs_wide
     from .sa import bwt_from_prev_sorted, sa_doubling_core
@@ -250,8 +249,23 @@ def encode_block_core(data: jnp.ndarray, fconfigs=None, *, n: int,
             [jnp.where(width > 0, ftype, 0), width], axis=1).astype(jnp.uint8)
     s2 = jnp.concatenate([hdr, payload_rows], axis=1).reshape(-1)[:n2]
 
-    # ---- 3. Lpx (span-parallel XOR prediction), same-size
-    s2 = lpx_dyn_core(s2, jnp.int32(n2), n2, decode=False, spans=lpx_spans)
+    # ---- 3. Lpx (span-parallel XOR prediction), same-size.  The split is
+    # _split_spans(n2, spans): ceil(n2/b) contiguous pieces of b = n2//S
+    # (the last <= b) — with static n2 that is a plain reshape, every
+    # piece coded in lockstep (no deal/undeal scatters at all)
+    from ..stages.lpx import _split_spans
+    from .lpx_tpu import _code_span
+
+    sp = _split_spans(n2, lpx_spans)
+    if sp:
+        R = len(sp)
+        bspan = sp[0][1]
+        lens = jnp.asarray(np.asarray([ln for _, ln in sp], np.int32))
+        rows2 = jnp.zeros(R * bspan, jnp.uint8).at[: n2].set(s2).reshape(
+            R, bspan)
+        coded = jax.vmap(
+            lambda s, ln: _code_span(s, ln, bspan, False))(rows2, lens)
+        s2 = coded.reshape(-1)[:n2]
 
     # ---- 4. second LZ store framing
     s3 = jnp.concatenate([tokj, s2])

@@ -126,6 +126,19 @@ def _jitted_core(lanes, units, rmax, ocap, out_cap, max_tokens,
     return fn
 
 
+def _host_fallback(rec) -> bytes:
+    """Host decode of one framed-block record (header, payload) — used for
+    valid streams whose Lpx span split exceeds the device kernel's static
+    lane layout."""
+    from .engines import NativeEngine
+    from .pipeline import decompress_block
+
+    header, payload = rec
+    return decompress_block(payload, header.crc, NativeEngine(),
+                            header.blocksize, header.units, header.lanes,
+                            header.lpx_spans).tobytes()
+
+
 def decode_block_device(payload: bytes, crc: int, blocksize: int,
                         units: int = 120, lanes: int = 0,
                         lpx_spans: int = 4) -> np.ndarray:
@@ -139,7 +152,16 @@ def decode_block_device(payload: bytes, crc: int, blocksize: int,
     packed = pack_meta(meta, payload, shapes)
     fn = _jitted_core(lanes, units, shapes["rmax"], shapes["ocap"],
                       shapes["out_cap"], shapes["max_tokens"], lpx_spans)
-    out, n, ok = fn(*packed)
+    out, n, ok, lpx_sup = fn(*packed)
+    if not bool(lpx_sup):
+        # valid stream whose Lpx span split exceeds the kernel's static
+        # lane layout (n % spans > n // spans, only when the Lpx stage is
+        # shorter than spans^2): decode host-side, bit-identically
+        from .engines import NativeEngine
+        from .pipeline import decompress_block
+
+        return decompress_block(payload, crc, NativeEngine(), blocksize,
+                                units, lanes, lpx_spans)
     out = np.asarray(jax.device_get(out))
     if not bool(ok):
         raise ValueError("device decode failed (corrupt stream)")

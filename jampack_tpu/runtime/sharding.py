@@ -118,10 +118,10 @@ def sharded_full_decode_step(mesh: Mesh, lanes: int, units: int, shapes,
         max_tokens=shapes["max_tokens"], lpx_spans=lpx_spans)
 
     def per_shard(pay, starts, rlens, olens, crlens, freqs):
-        out, n, ok = core(pay[0], starts[0], rlens[0], olens[0], crlens[0],
-                          freqs[0])
+        out, n, ok, sup = core(pay[0], starts[0], rlens[0], olens[0],
+                               crlens[0], freqs[0])
         done = jax.lax.psum((n > 0).astype(jnp.int32), axis_name="data")
-        return out[None], n[None], ok[None], done
+        return out[None], n[None], ok[None], sup[None], done
 
     return jax.jit(
         shard_map(
@@ -129,7 +129,7 @@ def sharded_full_decode_step(mesh: Mesh, lanes: int, units: int, shapes,
             mesh,
             (P("data", None), P("data", None), P("data", None),
              P("data", None), P("data", None), P("data", None, None)),
-            (P("data", None), P("data"), P("data"), P()),
+            (P("data", None), P("data"), P("data"), P("data"), P()),
         )
     )
 
@@ -332,11 +332,23 @@ def decode_archive_sharded(inp, mesh: Mesh = None, progress=None):
                            else sharding1)
             for c in cols
         ]
-        out, ns, oks, _ = step(*args)
+        out, ns, oks, sups, _ = step(*args)
         out = np.asarray(jax.device_get(out))
         ns = np.asarray(jax.device_get(ns))
         oks = np.asarray(jax.device_get(oks))
+        sups = np.asarray(jax.device_get(sups))
         for j, i in enumerate(batch):
+            if not bool(sups[j]):
+                # Lpx span split beyond the kernel's static lane layout:
+                # this block decodes host-side, bit-identically
+                from .device_decode import _host_fallback
+
+                out_parts[i] = _host_fallback(recs[i])
+                if progress is not None:
+                    done_raw += len(out_parts[i])
+                    done_comp += recs[i][0].csize
+                    progress(done_raw, done_comp)
+                continue
             if not bool(oks[j]):
                 raise ValueError("device decode failed (corrupt stream)")
             data = out[j, : int(ns[j])]

@@ -454,3 +454,24 @@ def test_model_pairs_wide_matches_chain():
                               np.asarray(lo_c)[:k])
         assert np.array_equal(fq_w[l, :k].astype(np.int32),
                               np.asarray(fq_c)[:k])
+
+
+def test_lpx_many_spans_regime():
+    """Streams with n % spans > n // spans have MORE than spans+1 Lpx
+    pieces (_split_spans tiles in n//spans-sized pieces).  The fused
+    encode must split exactly (static n); the fused decode must detect
+    the shape and fall back host-side — both byte/CRC-exact.  Regression
+    for the jtx-fuzz divergence at seed 7711065 (4 KB block, 960 spans)."""
+    from jampack_tpu.runtime.device_decode import decode_block_device
+    from jampack_tpu.runtime.device_encode import encode_block_device
+
+    data = _corpus(4200)[:4096]
+    opt = Options(blocksize=1 << 20, match_finder=3, filters=0,
+                  rans_lanes=4, ans_chunk=8 << 10, anchor_units=16,
+                  lpx_spans=960)  # n//960 = ~4 < n%960: >961 pieces
+    crc_d, pay_d = encode_block_device(data, opt)
+    crc_h, pay_h = compress_block(data, opt, Engine())
+    assert (crc_d, pay_d) == (crc_h, pay_h)
+    out = decode_block_device(pay_h, crc_h, opt.blocksize, opt.anchor_units,
+                              opt.rans_lanes, opt.lpx_spans)
+    assert np.array_equal(out, data)

@@ -42,7 +42,7 @@ def main():
 
     from jampack_tpu.format.constants import FILTER_BLOCK_SIZE, LZ_MIN_MATCH
     from jampack_tpu.kernels import encode_stages as es
-    from jampack_tpu.kernels.device_stages import lpx_dyn_core
+    from jampack_tpu.kernels.lpx_tpu import _code_span
     from jampack_tpu.kernels.rans_encode import rans_reverse_encode
     from jampack_tpu.kernels.rans_wide import model_pairs_wide
     from jampack_tpu.kernels.sa import bwt_from_prev_sorted, sa_doubling_core
@@ -86,9 +86,21 @@ def main():
 
     s2 = timeit("lz_store+filters0", store_filters, td)
 
-    f_lpx = jax.jit(partial(lpx_dyn_core, decode=False, spans=spans,
-                            out_cap=n2))
-    s2 = timeit("lpx_encode", f_lpx, s2, jnp.int32(n2))
+    from jampack_tpu.stages.lpx import _split_spans
+
+    sp = _split_spans(n2, spans)
+    bspan = sp[0][1]
+    lens = jnp.asarray(np.asarray([ln for _, ln in sp], np.int32))
+
+    @jax.jit
+    def f_lpx(s2):
+        rows = jnp.zeros(len(sp) * bspan, jnp.uint8).at[: n2].set(
+            s2).reshape(len(sp), bspan)
+        coded = jax.vmap(
+            lambda s, ln: _code_span(s, ln, bspan, False))(rows, lens)
+        return coded.reshape(-1)[:n2]
+
+    s2 = timeit("lpx_encode", f_lpx, s2)
 
     @jax.jit
     def bwt(s2):

@@ -127,7 +127,8 @@ def main():
     # 8. lpx
     f8 = jax.jit(partial(ds.lpx_dyn_core, out_cap=out_cap, decode=True,
                          spans=spans))
-    stage = timeit("lpx", f8, stage, nn)
+    stage, lpx_sup = timeit("lpx", f8, stage, nn)
+    assert bool(np.asarray(lpx_sup))
 
     # 9. filters
     f9 = jax.jit(partial(ds.filters_decode_dyn_core, out_cap=out_cap))
