@@ -22,7 +22,9 @@ import jax.numpy as jnp
 
 
 def sync(x):
-    return np.asarray(x).ravel()[0]
+    # slice the scalar ON DEVICE before fetching: np.asarray(x) would pull
+    # the whole array through the ~20 MB/s tunnel inside the timed region
+    return np.asarray(x.ravel()[0])
 
 
 def main():

@@ -76,7 +76,9 @@ def main():
     for _ in range(3):
         t0 = time.time()
         syms, ok = decode_lanes_wide(buf, starts, rlens_a, rmax_p)
-        _ = np.asarray(syms).ravel()[0]
+        # device-side scalar slice: np.asarray(syms) would pull the whole
+        # (L, rmax) array through the ~20 MB/s tunnel inside the timing
+        _ = np.asarray(syms.ravel()[0])
         best = min(best, time.time() - t0)
     print(f"L={L} wall={best:.3f}s -> {total_syms/best/1e6:.2f} Msym/s "
           f"({total_syms/L} sym/lane avg)")
