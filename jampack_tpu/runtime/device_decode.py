@@ -162,10 +162,11 @@ def decode_block_device(payload: bytes, crc: int, blocksize: int,
 
         return decompress_block(payload, crc, NativeEngine(), blocksize,
                                 units, lanes, lpx_spans)
-    out = np.asarray(jax.device_get(out))
     if not bool(ok):
         raise ValueError("device decode failed (corrupt stream)")
-    data = out[: int(n)]
+    # slice to the real length ON DEVICE: out is out_cap-padded (~12%
+    # over an 8 MB block) and host transfer is the tunnel's wall
+    data = np.asarray(jax.device_get(out[: int(n)]))
     if _checksum.integrity_check(data) != (crc & 0xFFFFFFFF):
         raise ValueError("detected corrupt block")
     return data

@@ -68,7 +68,12 @@ def encode_block_device(data: np.ndarray, opt: Options):
     bufs, ptrs, oks, freqs, rlens = encode_block_core(
         jnp.asarray(data), filter_configs(data, opt.filters), n=n,
         units=units, chunk=chunk, lanes=lanes, lpx_spans=int(opt.lpx_spans))
-    bufs = np.asarray(jax.device_get(bufs))
+    # compact the per-chain payload tails into one dense byte array ON
+    # DEVICE: the (NL, cap) grid is ~5x the real payload and host transfer
+    # is the tunneled platform's wall (one ~330 ms scatter buys ~1.4 s of
+    # transfer on an 8 MB block)
+    cap = int(bufs.shape[1])
+    dense = _compact_chains(bufs, ptrs)
     ptrs = np.asarray(jax.device_get(ptrs))
     oks = np.asarray(jax.device_get(oks))
     freqs = np.asarray(jax.device_get(freqs))
@@ -76,9 +81,38 @@ def encode_block_device(data: np.ndarray, opt: Options):
     if not bool(oks.all()):
         raise ValueError(
             "model failure (CDF): chunk not encodable in ref-compat mode")
+    lens = cap - ptrs.astype(np.int64)
+    total = int(lens.sum())
+    dense = np.asarray(jax.device_get(dense[:total]))
+    return crc, splice_dense(dense, lens, freqs, rlens, n, units, chunk,
+                             lanes)
 
-    return crc, splice_payload(bufs, ptrs, freqs, rlens, n, units, chunk,
-                               lanes)
+
+def _compact_chains_impl(bufs, ptrs):
+    """Scatter every chain's payload tail bufs[i, ptrs[i]:] into a dense
+    byte array at exclusive-cumsum offsets (device-side; one scatter)."""
+    import jax.numpy as jnp
+
+    NL, cap = bufs.shape
+    lens = cap - ptrs
+    offs = jnp.cumsum(lens) - lens
+    col = jnp.arange(cap, dtype=ptrs.dtype)[None, :]
+    valid = col >= ptrs[:, None]
+    dst = jnp.where(valid, offs[:, None] + (col - ptrs[:, None]), NL * cap)
+    return jnp.zeros(NL * cap + 1, jnp.uint8).at[dst.reshape(-1)].set(
+        jnp.where(valid, bufs, 0).reshape(-1), mode="drop")[:-1]
+
+
+_COMPACT_CACHE = {}
+
+
+def _compact_chains(bufs, ptrs):
+    import jax
+
+    fn = _COMPACT_CACHE.get("fn")
+    if fn is None:
+        fn = _COMPACT_CACHE["fn"] = jax.jit(_compact_chains_impl)
+    return fn(bufs, ptrs)
 
 
 def stage4_len(n: int, units: int) -> int:
@@ -96,27 +130,38 @@ def stage4_len(n: int, units: int) -> int:
 
 def splice_payload(bufs, ptrs, freqs, rlens, n: int, units: int, chunk: int,
                    lanes: int) -> bytes:
-    """Assemble one block's payload from the core's outputs: per chunk,
-    header + (lane table +) chain payloads — the same format path as
-    stages/ans.py ans_encode / jn_ans.cpp."""
+    """Assemble one block's payload from the core's padded (NL, cap)
+    outputs (host arrays) — concatenates the chain tails and delegates to
+    splice_dense."""
+    lens = bufs.shape[1] - np.asarray(ptrs, dtype=np.int64)
+    dense = np.concatenate(
+        [bufs[i, int(ptrs[i]):] for i in range(bufs.shape[0])])
+    return splice_dense(dense, lens, freqs, rlens, n, units, chunk, lanes)
+
+
+def splice_dense(dense, lens, freqs, rlens, n: int, units: int, chunk: int,
+                 lanes: int) -> bytes:
+    """Assemble one block's payload from densely packed chain payloads
+    (chain i's bytes at [offs[i], offs[i]+lens[i]), offs = exclusive
+    cumsum): per chunk, header + (lane table +) chain payloads — the same
+    format path as stages/ans.py ans_encode / jn_ans.cpp."""
     from ..kernels.encode_stages import _ceil_div
 
     eff = max(lanes, 1)
     C = rlens.size
     n4 = stage4_len(n, units)
     assert C == _ceil_div(n4, chunk)
+    offs = np.concatenate([[0], np.cumsum(lens)])
     out = bytearray()
     for c in range(C):
         olen = min(chunk, n4 - chunk * c)
-        payloads = [
-            bufs[c * eff + l, int(ptrs[c * eff + l]):].tobytes()
-            for l in range(eff)
-        ]
+        i0 = c * eff
         if lanes >= 2:
-            table = b"".join(encode_leb128(len(p)) for p in payloads)
-            body = table + b"".join(payloads)
+            table = b"".join(encode_leb128(int(lens[i0 + l]))
+                             for l in range(eff))
+            body = table + dense[offs[i0]:offs[i0 + eff]].tobytes()
         else:
-            body = payloads[0]
+            body = dense[offs[i0]:offs[i0 + 1]].tobytes()
         out += write_chunk_header(freqs[c], olen, len(body), int(rlens[c]))
         out += body
     return bytes(out)
