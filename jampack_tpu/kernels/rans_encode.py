@@ -11,9 +11,14 @@ vmapping chains — the chunks of a block in the reference layout, and
 additionally the lanes inside each chunk in JTX wide-interleave streams.
 
 Variable-length output on fixed shapes (survey §7 hard part 3): each op
-emits 0-3 bytes, written with drop-mode scatters at a descending pointer;
-the host slices [ptr, end) afterwards.  Worst-case payload is bounded by
-2 bytes/op amortized (16 bits of state growth per op) + 16 flush bytes.
+emits 0-2 renorm bytes.  Emissions are recorded DENSELY by loop step
+(dynamic_update_slice at 2*k — never a data-dependent in-loop scatter:
+on the real TPU backend, drop-mode byte scatters inside a vmapped
+fori_loop silently lose writes, the round-2 headline defect) and
+materialized into the descending-pointer buffer with ONE end-of-loop
+sort, exactly like the decode side's proven-on-chip pattern.  Worst-case
+payload is bounded by 2 bytes/op amortized (16 bits of state growth per
+op) + 16 flush bytes.
 """
 
 from functools import partial
@@ -79,16 +84,26 @@ def rans_reverse_encode(lows: jnp.ndarray, fqs: jnp.ndarray,
     Returns (buf, ptr): payload is buf[ptr:] with buf sized 4*max_rlen+16.
     """
     size = 4 * max_rlen + 16
-    buf = jnp.zeros(size, dtype=jnp.uint8)
+    ncap = 2 * max_rlen          # op-slot capacity
+    scap = 2 * ncap + 16         # emission-slot capacity (== size)
+    # single-operand packed sort (slot << 8 | byte) needs 24-bit slots —
+    # holds up to 4 MB chunks (scap = 4*max_rlen+16); static guard
+    assert scap < (1 << 24), "emission slots exceed the 24-bit pack range"
     R = jnp.full(4, RANS_BYTE_L, dtype=jnp.uint32)
     ptr = jnp.int32(size)
     nops = 2 * rlen
+    # Emission record: slot s = 2*k + sub for op step k; ascending slot
+    # order IS emission order (descending buffer addresses).  recs hold
+    # (slot << 8 | byte) for emitted bytes, the sentinel 0xFFFFFFFF
+    # otherwise — ONE u32 operand, the same packed-sort shape the decode
+    # side already proves on real hardware (ibwt restride, Lpx undeal).
+    recs = jnp.full(scap, jnp.uint32(0xFFFFFFFF))
     # one packed (low | freq << 16) word per op: halves the per-step
     # dynamic-index read (the loop's random-access cost under vmap)
     pairs = lows.astype(jnp.uint32) | (fqs.astype(jnp.uint32) << 16)
 
     def body(k, carry):
-        R, buf, ptr = carry
+        R, recs, ptr = carry
         i = nops - 1 - k
         pf = pairs[i]
         fq = pf >> 16
@@ -99,29 +114,44 @@ def rans_reverse_encode(lows: jnp.ndarray, fqs: jnp.ndarray,
         # advance is bounded by (x_max/fq) << 16 = 2^31) and x_max =
         # 2^15 * fq >= 2^15, so (x >> 16) < 2^15 <= x_max.
         x_max = ((jnp.uint32(RANS_BYTE_L) >> PROB_BITS) << 8) * fq
-        for _ in range(2):
-            need = x >= x_max
-            # drop-mode scatter with an out-of-bounds index when no byte is
-            # emitted (negative indices are not reliably OOB in scatters)
-            ptr_w = jnp.where(need, ptr - 1, size)
-            buf = buf.at[ptr_w].set((x & 0xFF).astype(jnp.uint8), mode="drop")
-            ptr = jnp.where(need, ptr - 1, ptr)
-            x = jnp.where(need, x >> 8, x)
+        need0 = x >= x_max
+        b0 = x & jnp.uint32(0xFF)
+        x = jnp.where(need0, x >> 8, x)
+        need1 = x >= x_max
+        b1 = x & jnp.uint32(0xFF)
+        x = jnp.where(need1, x >> 8, x)
         x = ((x // fq) << PROB_BITS) + (x % fq) + lo
         R = jnp.stack([x, R[0], R[1], R[2]])
-        return R, buf, ptr
+        # record both candidate emissions densely at slots 2k/2k+1 — a
+        # dynamic_update_slice at the loop counter, never a scatter
+        s0 = 2 * k
+        su = jnp.uint32(2) * k.astype(jnp.uint32)
+        rv = jnp.stack([
+            jnp.where(need0, (su << 8) | b0, jnp.uint32(0xFFFFFFFF)),
+            jnp.where(need1, ((su + 1) << 8) | b1, jnp.uint32(0xFFFFFFFF)),
+        ])
+        recs = jax.lax.dynamic_update_slice(recs, rv, (s0,))
+        ptr = ptr - need0.astype(jnp.int32) - need1.astype(jnp.int32)
+        return R, recs, ptr
 
-    R, buf, ptr = jax.lax.fori_loop(0, nops, body, (R, buf, ptr))
+    R, recs, ptr = jax.lax.fori_loop(0, nops, body, (R, recs, ptr))
 
-    # flush R3..R0 as little-endian 4-byte each (rans_byte.hpp:98-110)
-    def flush(state, buf, ptr):
-        ptr = ptr - 4
-        for b in range(4):
-            buf = buf.at[ptr + b].set(((state >> (8 * b)) & 0xFF).astype(jnp.uint8))
-        return buf, ptr
+    # flush R3..R0, little-endian 4 bytes each (rans_byte.hpp:98-110):
+    # emission-order = descending addresses, so R3's MSB is emitted first;
+    # the 16 flush slots live past every loop slot (static tail indices)
+    jj = jnp.repeat(jnp.arange(3, -1, -1), 4)
+    bb = jnp.tile(jnp.arange(3, -1, -1), 4)
+    fbytes = (R[jj] >> (8 * bb).astype(jnp.uint32)) & 0xFF
+    fslots = jnp.arange(2 * ncap, 2 * ncap + 16, dtype=jnp.uint32)
+    recs = recs.at[2 * ncap:].set((fslots << 8) | fbytes)
+    ptr = ptr - 16
 
-    for j in (3, 2, 1, 0):
-        buf, ptr = flush(R[j], buf, ptr)
+    # materialize: ascending packed order puts the E emitted bytes first
+    # in emission order (sentinels last); buf address of emission e is
+    # size-1-e, so the buffer is the flipped (masked) sorted byte stream
+    byts_s = (jax.lax.sort(recs) & 0xFF).astype(jnp.uint8)
+    emitted = jnp.arange(scap, dtype=jnp.int32) < (jnp.int32(size) - ptr)
+    buf = jnp.flip(jnp.where(emitted, byts_s, 0))
     return buf, ptr
 
 
