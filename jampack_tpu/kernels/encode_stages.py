@@ -217,7 +217,7 @@ def encode_block_core(data: jnp.ndarray, fconfigs=None, *, n: int,
     """
     from ..format.constants import FILTER_BLOCK_SIZE, LZ_MIN_MATCH
     from ..stages.lz77 import write_token
-    from .rans_encode import rans_reverse_encode
+    from .rans_encode import rans_reverse_encode_wide
     from .rans_wide import model_pairs_wide
     from .sa import bwt_from_prev_sorted, sa_doubling_core
 
@@ -304,9 +304,141 @@ def encode_block_core(data: jnp.ndarray, fconfigs=None, *, n: int,
     crlens = ((rlens[:, None] - lane_ids + eff - 1) // eff).reshape(-1)
 
     # ---- 7. wide model pass (all chains in one lockstep bank loop) +
-    # vmapped reverse 4-state rANS
+    # wide lockstep reverse 4-state rANS (vmapping the per-chain form over
+    # batched trip counts crashes the TPU worker — rans_encode.py docstring)
     lows, fqs2, oks = model_pairs_wide(chains, crlens, max_rlen)
-    bufs, ptrs = jax.vmap(
-        lambda lo, fq, rl: rans_reverse_encode(lo, fq, rl, max_rlen)
-    )(lows, fqs2, crlens)
+    bufs, ptrs = rans_reverse_encode_wide(lows, fqs2, crlens, max_rlen)
     return bufs, ptrs, oks, freqs, rlens
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-length encode chain: one compile per pow2 capacity bucket
+# (the encode mirror of ibwt_dyn_core's pattern — VERDICT r2 item 5),
+# split into a FRONT (filters + Lpx) and BACK (BWT + entropy) core so a
+# host LZ match finder can run between them for default-mode archives
+# (m0 dedupe, lz77.cpp:544-625 — VERDICT r2 item 4).
+
+
+def _entropy_dyn(s4, n4, *, chunk: int, lanes: int):
+    """Stage 6+7 with traced n4: rank -> RLE0 -> lane deal -> wide model
+    pass -> reverse rANS.  s4: (cap4,) u8 zero-padded past n4."""
+    from .rans_encode import rans_reverse_encode_wide
+    from .rans_wide import model_pairs_wide
+
+    cap4 = s4.shape[0]
+    C = _ceil_div(cap4, chunk)
+    olens = jnp.clip(n4 - chunk * jnp.arange(C, dtype=jnp.int32), 0, chunk)
+    rows = jnp.pad(s4, (0, C * chunk - cap4)).reshape(C, chunk)
+    ranks, freqs = rank_encode_core(rows, olens)
+    syms, rlens = jax.vmap(
+        lambda r, ol: rle0_encode_core(r, ol, chunk))(ranks, olens)
+
+    eff = max(lanes, 1)
+    rcap = _ceil_div(chunk, eff) * eff
+    max_rlen = rcap // eff
+    syms_p = jnp.pad(syms, ((0, 0), (0, rcap - chunk)))
+    chains = syms_p.reshape(C, max_rlen, eff).transpose(0, 2, 1).reshape(
+        C * eff, max_rlen)
+    lane_ids = jnp.arange(eff, dtype=jnp.int32)[None, :]
+    crlens = ((rlens[:, None] - lane_ids + eff - 1) // eff).reshape(-1)
+    crlens = jnp.maximum(crlens, 0)
+
+    lows, fqs2, oks = model_pairs_wide(chains, crlens, max_rlen)
+    bufs, ptrs = rans_reverse_encode_wide(lows, fqs2, crlens, max_rlen)
+    return bufs, ptrs, oks, freqs, rlens
+
+
+def encode_front_core(s1: jnp.ndarray, n1, fconfigs, *, lpx_spans: int):
+    """Filters + Lpx over a traced-length stage-1 buffer (the host-framed
+    [LZ tokens]): returns (s2 (cap2,) u8 zero-padded, n2, supported).
+
+    s1: (cap1,) u8 zero-padded past n1.  fconfigs: None (-f0 passthrough)
+    or (F_cap, 2) i32 picks, zeros past the actual chunk count."""
+    from ..format.constants import FILTER_BLOCK_SIZE
+
+    FBS = FILTER_BLOCK_SIZE
+    cap1 = s1.shape[0]
+    F = _ceil_div(cap1, FBS)
+    rows1 = jnp.pad(s1, (0, F * FBS - cap1)).reshape(F, FBS)
+    plens = jnp.clip(n1 - FBS * jnp.arange(F, dtype=jnp.int32), 0, FBS)
+    if fconfigs is None:
+        hdr = jnp.zeros((F, 2), jnp.uint8)
+        payload_rows = rows1
+    else:
+        ftype = fconfigs[:, 0]
+        width = fconfigs[:, 1]
+        payload_rows = _filters_apply_rows(rows1, plens, ftype, width)
+        hdr = jnp.stack(
+            [jnp.where(width > 0, ftype, 0), width], axis=1).astype(jnp.uint8)
+        hdr = jnp.where(plens[:, None] > 0, hdr, 0)
+    # row i of [hdr | payload] sits at flat [i*(FBS+2), (i+1)*(FBS+2));
+    # only the LAST live row is partial, so the flat stream's first n2
+    # bytes are the stage output and everything past is zero already
+    s2 = jnp.concatenate([hdr, payload_rows], axis=1).reshape(-1)
+    nf = (n1 + FBS - 1) // FBS
+    n2 = n1 + 2 * nf
+
+    from .device_stages import lpx_dyn_core
+
+    s2, sup = lpx_dyn_core(s2, n2, s2.shape[0], decode=False,
+                           spans=lpx_spans)
+    return s2, n2, sup
+
+
+def encode_back_core(s3: jnp.ndarray, n3, *, units: int, chunk: int,
+                     lanes: int):
+    """Forward BWT (+ anchors) + entropy over a traced-length stage-3
+    buffer.  s3: (cap3,) u8 zero-padded past n3.  Returns the same
+    (bufs, ptrs, oks, freqs, rlens) layout as encode_block_core with
+    capacity-sized leading dims; callers slice the live chunks."""
+    from .sa import bwt_from_prev_sorted, sa_doubling_dyn_core
+
+    cap3 = s3.shape[0]
+    pos = jnp.arange(cap3 + 4 * units, dtype=jnp.int32)
+    rem = n3 % units
+    nlen = n3 - rem
+    order, isa, prev_sorted = sa_doubling_dyn_core(s3, nlen)
+    bwt = bwt_from_prev_sorted(prev_sorted, isa[0], cap3)
+    step = nlen // units
+    u = jnp.arange(units, dtype=jnp.int32)
+    anchors = isa[jnp.clip(u * step, 0, cap3 - 1)] + 1
+    abytes = ((anchors[:, None] >> jnp.asarray([0, 8, 16, 24])[None, :])
+              & 0xFF).astype(jnp.uint8).reshape(-1)
+    s4 = jnp.where(pos[:cap3] < nlen, bwt, s3)
+    s4 = jnp.pad(s4, (0, 4 * units))
+    s4 = jax.lax.dynamic_update_slice(s4, abytes, (n3,))
+    n4 = n3 + 4 * units
+    s4 = jnp.where(pos < n4, s4, 0)
+    return _entropy_dyn(s4, n4, chunk=chunk, lanes=lanes)
+
+
+encode_front_jit = partial(jax.jit, static_argnames=("lpx_spans",))(
+    encode_front_core)
+encode_back_jit = partial(jax.jit, static_argnames=("units", "chunk",
+                                                    "lanes"))(
+    encode_back_core)
+
+
+@partial(jax.jit, static_argnames=("units", "chunk", "lanes", "lpx_spans"))
+def encode_block_dyn_core(data: jnp.ndarray, n, fconfigs=None, *,
+                          units: int, chunk: int, lanes: int,
+                          lpx_spans: int):
+    """encode_block_core with a TRACED block length over a static pow2
+    capacity: the m3-store chain (both LZ stages emit the bare end
+    token), compiled once per (capacity, stream-params) bucket.
+
+    data: (cap,) u8 zero-padded past n.  Returns encode_block_core's
+    tuple plus the Lpx `supported` flag."""
+    from ..format.constants import LZ_MIN_MATCH
+    from ..stages.lz77 import write_token
+
+    tok = np.frombuffer(write_token(LZ_MIN_MATCH, LZ_MIN_MATCH, 0),
+                        dtype=np.uint8)
+    tokj = jnp.asarray(tok)
+    s1 = jnp.concatenate([tokj, data])
+    s2, n2, sup = encode_front_core(s1, n + tok.size, fconfigs,
+                                    lpx_spans=lpx_spans)
+    s3 = jnp.concatenate([tokj, s2])
+    outs = encode_back_core(s3, n2 + tok.size, units=units, chunk=chunk,
+                            lanes=lanes)
+    return outs + (sup,)

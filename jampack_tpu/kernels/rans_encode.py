@@ -19,6 +19,16 @@ materialized into the descending-pointer buffer with ONE end-of-loop
 sort, exactly like the decode side's proven-on-chip pattern.  Worst-case
 payload is bounded by 2 bytes/op amortized (16 bits of state growth per
 op) + 16 flush bytes.
+
+HARDWARE RULE (round-3 finding, isolated by op bisection on the chip):
+jax.vmap over a fori_loop whose TRIP COUNT is batched (per-lane rlen)
+lowers to a masked while-loop whose predicated in-loop writes crash the
+TPU worker outright past ~4k lanes — and silently dropped bytes in the
+round-2 scatter form.  The scalable form is the decode side's: a HAND-
+WIDENED (L, ...) kernel with a SCALAR loop bound (max over lanes),
+per-lane active masks, and shared-offset column dynamic_update_slices
+(rans_reverse_encode_wide below).  The per-chain rans_reverse_encode is
+kept for single-chain callers only.
 """
 
 from functools import partial
@@ -155,6 +165,76 @@ def rans_reverse_encode(lows: jnp.ndarray, fqs: jnp.ndarray,
     return buf, ptr
 
 
+@partial(jax.jit, static_argnames=("max_rlen",))
+def rans_reverse_encode_wide(lows: jnp.ndarray, fqs: jnp.ndarray,
+                             rlens: jnp.ndarray, max_rlen: int):
+    """Reverse rANS for L chains in LOCKSTEP — the scalable form (see the
+    module docstring's hardware rule): scalar loop bound, (L, 2) column
+    writes at the shared offset 2*k, per-lane active masks, one per-lane
+    packed sort at the end (the decode chain's proven shapes).
+
+    lows/fqs: (L, 2*max_rlen) op pairs; rlens: (L,) symbol counts.
+    Returns (bufs (L, 4*max_rlen+16) u8, ptrs (L,)): payload l is
+    bufs[l, ptrs[l]:]."""
+    L, _ = lows.shape
+    size = 4 * max_rlen + 16
+    ncap = 2 * max_rlen
+    scap = 2 * ncap + 16
+    assert scap < (1 << 24), "emission slots exceed the 24-bit pack range"
+    R = jnp.full((L, 4), RANS_BYTE_L, dtype=jnp.uint32)
+    ptr = jnp.full(L, size, jnp.int32)
+    nops = 2 * rlens                                  # (L,)
+    recs = jnp.full((L, scap), jnp.uint32(0xFFFFFFFF))
+    pairs = lows.astype(jnp.uint32) | (fqs.astype(jnp.uint32) << 16)
+
+    def body(k, carry):
+        R, recs, ptr = carry
+        active = k < nops
+        i = jnp.clip(nops - 1 - k, 0, ncap - 1)
+        pf = jnp.take_along_axis(pairs, i[:, None], axis=1)[:, 0]
+        fq = jnp.maximum(pf >> 16, 1)                 # inactive lanes: inert
+        lo = pf & jnp.uint32(0xFFFF)
+        x = R[:, 3]
+        x_max = ((jnp.uint32(RANS_BYTE_L) >> PROB_BITS) << 8) * fq
+        need0 = active & (x >= x_max)
+        b0 = x & jnp.uint32(0xFF)
+        x = jnp.where(need0, x >> 8, x)
+        need1 = active & (x >= x_max)
+        b1 = x & jnp.uint32(0xFF)
+        x = jnp.where(need1, x >> 8, x)
+        x2 = ((x // fq) << PROB_BITS) + (x % fq) + lo
+        # rotate ONLY active lanes: an inactive lane's 4 states must hold
+        # still or its flush order scrambles
+        rot = jnp.concatenate([x2[:, None], R[:, :3]], axis=1)
+        R = jnp.where(active[:, None], rot, R)
+        su = jnp.uint32(2 * k)
+        rv = jnp.stack([
+            jnp.where(need0, (su << 8) | b0, jnp.uint32(0xFFFFFFFF)),
+            jnp.where(need1, ((su + 1) << 8) | b1, jnp.uint32(0xFFFFFFFF)),
+        ], axis=1)                                    # (L, 2)
+        recs = jax.lax.dynamic_update_slice(recs, rv, (0, 2 * k))
+        ptr = ptr - need0.astype(jnp.int32) - need1.astype(jnp.int32)
+        return R, recs, ptr
+
+    steps = jnp.minimum(jnp.maximum(jnp.max(nops), 0), ncap)
+    R, recs, ptr = jax.lax.fori_loop(0, steps, body, (R, recs, ptr))
+
+    # flush R3..R0 little-endian (rans_byte.hpp:98-110): emission order is
+    # descending addresses, so R3's MSB first; static tail slots
+    jj = jnp.repeat(jnp.arange(3, -1, -1), 4)
+    bb = jnp.tile(jnp.arange(3, -1, -1), 4)
+    fbytes = (R[:, jj] >> (8 * bb)[None, :].astype(jnp.uint32)) & 0xFF
+    fslots = jnp.arange(2 * ncap, 2 * ncap + 16, dtype=jnp.uint32)
+    recs = recs.at[:, 2 * ncap:].set((fslots[None, :] << 8) | fbytes)
+    ptr = ptr - 16
+
+    byts_s = (jax.lax.sort(recs, dimension=1) & 0xFF).astype(jnp.uint8)
+    emitted = jnp.arange(scap, dtype=jnp.int32)[None, :] \
+        < (jnp.int32(size) - ptr)[:, None]
+    bufs = jnp.flip(jnp.where(emitted, byts_s, 0), axis=1)
+    return bufs, ptr
+
+
 def encode_pairs_tpu(syms: np.ndarray) -> bytes:
     """Host wrapper: encode one symbol chain on device (drop-in for
     stages.ans.encode_pairs)."""
@@ -176,12 +256,11 @@ def encode_pairs_tpu(syms: np.ndarray) -> bytes:
 
 @partial(jax.jit, static_argnames=("max_rlen",))
 def _encode_lanes(syms_pad, rlens, max_rlen: int):
-    def one(syms, rlen):
-        lows, fqs, ok = model_chain_pairs(syms, rlen, max_rlen)
-        buf, ptr = rans_reverse_encode(lows, fqs, rlen, max_rlen)
-        return buf, ptr, ok
+    from .rans_wide import model_pairs_wide
 
-    return jax.vmap(one, in_axes=(0, 0))(syms_pad, rlens)
+    lows, fqs, oks = model_pairs_wide(syms_pad, rlens, max_rlen)
+    bufs, ptrs = rans_reverse_encode_wide(lows, fqs, rlens, max_rlen)
+    return bufs, ptrs, oks
 
 
 def encode_lanes_tpu(lane_syms) -> list:

@@ -72,10 +72,15 @@ def sa_doubling_core(t: jnp.ndarray, n: int):
 
     def round_fn(k, rank, order):
         # per-position keys: (rank[i], rank[i+k] or -1); two-key lexicographic
-        # lax.sort avoids any packed-key overflow at 8M+ scale
+        # lax.sort avoids any packed-key overflow at 8M+ scale.  rank[i+k]
+        # is a CONTIGUOUS dynamic_slice, not a gather — shift-of-iota
+        # gathers are a measured anti-pattern on this platform (CLAUDE.md)
         pos = jnp.arange(n, dtype=jnp.int32)
         key1 = rank
-        key2 = jnp.where(pos + k < n, rank[jnp.minimum(pos + k, n - 1)], -1)
+        key2 = jax.lax.dynamic_slice(
+            jnp.concatenate([rank, jnp.full(n, -1, jnp.int32)]),
+            (jnp.minimum(k, n),), (n,))
+        key2 = jnp.where(pos + k < n, key2, -1)
         k1s, k2s, order, prev_sorted = jax.lax.sort(
             (key1, key2, pos, prev), num_keys=2, is_stable=True
         )
@@ -109,6 +114,92 @@ def sa_doubling_core(t: jnp.ndarray, n: int):
 
 
 _sa_doubling = partial(jax.jit, static_argnames=("n",))(sa_doubling_core)
+
+
+def sa_doubling_dyn_core(t: jnp.ndarray, n):
+    """Prefix-doubling SA with TRACED length n over a static-capacity
+    buffer t (cap,) — the encode-side counterpart of the decode chain's
+    ibwt_dyn_core bucketing (one compile per pow2 bucket, not per exact
+    block length).
+
+    Positions >= n carry maximal sort keys at every round, so they stay
+    strictly after every real suffix: the first n entries of `order` are
+    the SA, `rank[i]` for i < n is the ISA, and the first n entries of
+    `prev_sorted` are t[(SA[j]-1) mod n] (the gather-free BWT payload).
+    Requires n >= 2.
+    """
+    cap = t.shape[0]
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    valid = pos < n
+    t32 = jnp.where(valid, t.astype(jnp.int32), 0)
+    k0 = 4 * _INIT_WORDS
+    # zero-masking past n makes the static packs read exactly the
+    # zero-padding the length-key tiebreak expects (see sa_doubling_core);
+    # invalid positions get MAXIMAL keys on every operand (a valid pack
+    # can reach 0xFFFFFFFF too — four 0xFF bytes — but its length key is
+    # <= k0, so the tiebreak still orders every invalid strictly last)
+    words = [jnp.where(valid, _pack4(t32, 4 * i, cap),
+                       jnp.uint32(0xFFFFFFFF)) for i in range(_INIT_WORDS)]
+    rem = jnp.where(valid, jnp.minimum(n - pos, k0).astype(jnp.uint32),
+                    jnp.uint32(0xFFFFFFFF))
+    prev = jnp.concatenate([t32[:1], t32[:-1]])
+    prev = prev.at[0].set(t32[jnp.maximum(n - 1, 0)])
+    sorted_ops = jax.lax.sort(
+        tuple(words) + (rem, pos, prev), num_keys=_INIT_WORDS + 1,
+        is_stable=True,
+    )
+    order = sorted_ops[-2]
+    prev_sorted = sorted_ops[-1]
+    neq = jnp.zeros(cap - 1, dtype=bool)
+    for key in sorted_ops[: _INIT_WORDS + 1]:
+        neq = neq | (key[1:] != key[:-1])
+    boundaries = jnp.concatenate(
+        [jnp.ones(1, dtype=jnp.int32), neq.astype(jnp.int32)]
+    )
+    init_rank = jnp.cumsum(boundaries) - 1
+    _, rank = jax.lax.sort((order, init_rank), num_keys=1, is_stable=False)
+    # done iff the first n sorted ranks are distinct; invalid positions
+    # always rank past them (their keys are strictly greater), so the
+    # check is rank-at-sorted-position n-1 == n-1
+    init_done = init_rank[jnp.maximum(n - 1, 0)] == n - 1
+
+    def round_fn(k, rank, order):
+        pos = jnp.arange(cap, dtype=jnp.int32)
+        key1 = rank
+        key2 = jax.lax.dynamic_slice(
+            jnp.concatenate([rank, jnp.full(cap, -1, jnp.int32)]),
+            (jnp.minimum(k, cap),), (cap,))
+        key2 = jnp.where(pos + k < n, key2, -1)
+        k1s, k2s, order, prev_sorted = jax.lax.sort(
+            (key1, key2, pos, prev), num_keys=2, is_stable=True
+        )
+        boundaries = jnp.concatenate(
+            [
+                jnp.ones(1, dtype=jnp.int32),
+                ((k1s[1:] != k1s[:-1])
+                 | (k2s[1:] != k2s[:-1])).astype(jnp.int32),
+            ]
+        )
+        new_rank = jnp.cumsum(boundaries) - 1
+        _, rank = jax.lax.sort((order, new_rank), num_keys=1, is_stable=False)
+        return rank, order, prev_sorted, \
+            new_rank[jnp.maximum(n - 1, 0)] == n - 1
+
+    def cond(carry):
+        _, _, _, done, k = carry
+        return jnp.logical_and(jnp.logical_not(done), k < 2 * n)
+
+    def body(carry):
+        rank, order, prev_sorted, _, k = carry
+        rank, order, prev_sorted, done = round_fn(k, rank, order)
+        return rank, order, prev_sorted, done, k * 2
+
+    rank, order, prev_sorted, done, _ = jax.lax.while_loop(
+        cond, body,
+        (rank, order, prev_sorted, init_done,
+         jnp.array(k0, dtype=jnp.int32)),
+    )
+    return order, rank, prev_sorted
 
 
 def bwt_from_prev_sorted(prev_sorted: jnp.ndarray, idx: jnp.ndarray,

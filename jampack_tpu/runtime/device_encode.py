@@ -22,23 +22,33 @@ from ..stages.ans import write_chunk_header
 from .pipeline import LZ_MODE_STORE, Options
 
 
-def filter_configs(data: np.ndarray, filters: int):
+def filter_configs(data: np.ndarray, filters: int, s1: np.ndarray = None):
     """Per-64KB-chunk (type, width) picks for the fused chain's filter
-    stage, computed over the store-framed stage-1 buffer [token | data]
-    (the filters' actual input, jampack.cpp:36-37).  The picks come from
-    the device search with host f64 near-tie re-scoring, so they match
-    the host engines' exactly.  None for -f0 (passthrough headers)."""
+    stage, computed over the stage-1 buffer — the store framing
+    [token | data] by default, or an explicit host-LZ output `s1` (the
+    filters' actual input either way, jampack.cpp:36-37).  The picks come
+    from the device search with host f64 near-tie re-scoring, so they
+    match the host engines' exactly.  None for -f0 (passthrough)."""
     if filters == 0:
         return None
-    from ..format.constants import LZ_MIN_MATCH
     from ..kernels.filters_search import pick_f1_configs, pick_f2_configs
-    from ..stages.lz77 import write_token
 
-    s1 = np.concatenate([
-        np.frombuffer(write_token(LZ_MIN_MATCH, LZ_MIN_MATCH, 0), np.uint8),
-        np.asarray(data, dtype=np.uint8)])
+    if s1 is None:
+        from ..format.constants import LZ_MIN_MATCH
+        from ..stages.lz77 import write_token
+
+        s1 = np.concatenate([
+            np.frombuffer(write_token(LZ_MIN_MATCH, LZ_MIN_MATCH, 0),
+                          np.uint8),
+            np.asarray(data, dtype=np.uint8)])
     picks = (pick_f1_configs if filters == 1 else pick_f2_configs)(s1)
     return np.asarray(picks, dtype=np.int32).reshape(-1, 2)
+
+
+def _bucket_cap(n: int) -> int:
+    """Pow2 capacity bucket: one XLA compile per bucket, not per exact
+    block length (ibwt_dyn_core's convention on the decode side)."""
+    return max(1 << (max(n, 1) - 1).bit_length(), 1 << 16)
 
 
 def encode_block_device(data: np.ndarray, opt: Options):
@@ -50,7 +60,9 @@ def encode_block_device(data: np.ndarray, opt: Options):
     import jax
     import jax.numpy as jnp
 
-    from ..kernels.encode_stages import encode_block_core
+    from ..format.constants import FILTER_BLOCK_SIZE, LZ_MIN_MATCH
+    from ..kernels.encode_stages import _ceil_div, encode_block_dyn_core
+    from ..stages.lz77 import write_token
 
     if opt.match_finder != LZ_MODE_STORE or opt.filters not in (0, 1, 2):
         raise NotImplementedError(
@@ -65,27 +77,145 @@ def encode_block_device(data: np.ndarray, opt: Options):
     chunk = min(max(int(opt.ans_chunk), 1), ANS_CHUNK_SIZE)
     lanes = int(opt.rans_lanes)
 
-    bufs, ptrs, oks, freqs, rlens = encode_block_core(
-        jnp.asarray(data), filter_configs(data, opt.filters), n=n,
-        units=units, chunk=chunk, lanes=lanes, lpx_spans=int(opt.lpx_spans))
+    spans = int(opt.lpx_spans)
+    T = len(write_token(LZ_MIN_MATCH, LZ_MIN_MATCH, 0))
+    n2 = (n + T) + 2 * _ceil_div(n + T, FILTER_BLOCK_SIZE)
+    b = n2 // spans
+    fc = filter_configs(data, opt.filters)
+    if b > 0 and (n2 - spans * b) > b:
+        # many-piece Lpx regime (> spans+1 pieces, only when
+        # n2 < spans*(spans+1)): the dyn core's spans+1-lane layout can't
+        # express it — take the exact static split (one compile per
+        # length, confined to this corner)
+        from ..kernels.encode_stages import encode_block_core
+
+        bufs, ptrs, oks, freqs, rlens = encode_block_core(
+            jnp.asarray(data), None if fc is None else jnp.asarray(fc),
+            n=n, units=units, chunk=chunk, lanes=lanes, lpx_spans=spans)
+        return crc, _fetch_and_splice(bufs, ptrs, oks, freqs, rlens,
+                                      stage4_len(n, units), chunk, lanes)
+    cap = _bucket_cap(n)
+    padded = np.zeros(cap, dtype=np.uint8)
+    padded[:n] = data
+    if fc is not None:
+        f_cap = _ceil_div(cap + T, FILTER_BLOCK_SIZE)
+        fc_pad = np.zeros((f_cap, 2), dtype=np.int32)
+        fc_pad[: fc.shape[0]] = fc
+        fc = jnp.asarray(fc_pad)
+    bufs, ptrs, oks, freqs, rlens, sup = encode_block_dyn_core(
+        jnp.asarray(padded), jnp.int32(n), fc, units=units, chunk=chunk,
+        lanes=lanes, lpx_spans=spans)
+    assert bool(sup)  # the static-split branch above covers the rest
+    return crc, _fetch_and_splice(bufs, ptrs, oks, freqs, rlens,
+                                  stage4_len(n, units), chunk, lanes)
+
+
+def _fetch_and_splice(bufs, ptrs, oks, freqs, rlens, n4: int, chunk: int,
+                      lanes: int) -> bytes:
+    """Device-compact the chain payload tails, fetch the live chunks, and
+    splice the block payload.  n4 = the entropy stage's ACTUAL input
+    length; padding chunks sit past the live ones in chunk-major order
+    and are sliced off after compaction."""
+    import jax
+
+    from ..kernels.encode_stages import _ceil_div
+
+    eff = max(lanes, 1)
+    C = _ceil_div(n4, chunk)
+    NL = C * eff
     # compact the per-chain payload tails into one dense byte array ON
     # DEVICE: the (NL, cap) grid is ~5x the real payload and host transfer
     # is the tunneled platform's wall (one ~330 ms scatter buys ~1.4 s of
     # transfer on an 8 MB block)
-    cap = int(bufs.shape[1])
+    blen = int(bufs.shape[1])
     dense = _compact_chains(bufs, ptrs)
-    ptrs = np.asarray(jax.device_get(ptrs))
-    oks = np.asarray(jax.device_get(oks))
-    freqs = np.asarray(jax.device_get(freqs))
-    rlens = np.asarray(jax.device_get(rlens))
+    ptrs = np.asarray(jax.device_get(ptrs))[:NL]
+    oks = np.asarray(jax.device_get(oks))[:NL]
+    freqs = np.asarray(jax.device_get(freqs[:C]))
+    rlens = np.asarray(jax.device_get(rlens[:C]))
     if not bool(oks.all()):
         raise ValueError(
             "model failure (CDF): chunk not encodable in ref-compat mode")
-    lens = cap - ptrs.astype(np.int64)
+    lens = blen - ptrs.astype(np.int64)
     total = int(lens.sum())
     dense = np.asarray(jax.device_get(dense[:total]))
-    return crc, splice_dense(dense, lens, freqs, rlens, n, units, chunk,
-                             lanes)
+    return splice_dense(dense, lens, freqs, rlens, n4, chunk, lanes)
+
+
+def encode_block_device_lz(data: np.ndarray, opt: Options, engine=None):
+    """Device encode for the reference's DEFAULT pipeline (VERDICT r2
+    item 4): the LZ match finders (m0 dedupe pre-pass, jampack.cpp:34-36 /
+    lz77.cpp:544-625, and the configured stage-4 finder) run on the host —
+    they are serial hash-chain walks with nothing for the MXU — while
+    filters+Lpx (front) and BWT+entropy (back) run device-resident with
+    traced lengths.  Archives are byte-identical to the host engines'.
+
+    Returns (crc, payload bytes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..kernels.encode_stages import encode_back_jit, encode_front_jit
+    from .pipeline import Engine
+
+    if opt.match_finder not in (0, 1, 2) or opt.filters not in (0, 1, 2):
+        raise NotImplementedError(
+            "host-LZ device encode supports match_finder 0/1/2")
+    eng = engine
+    if eng is None:  # the native finder when buildable, spec otherwise
+        try:
+            from .engines import NativeEngine
+
+            eng = NativeEngine()
+        except Exception:  # noqa: BLE001
+            eng = Engine()
+    data = np.ascontiguousarray(np.asarray(data, dtype=np.uint8))
+    n = int(data.size)
+    crc = _checksum.integrity_check(data)
+    units = int(opt.anchor_units)
+    if n < max(4 * units, 1024):
+        raise NotImplementedError("block too small for the device chain")
+    chunk = min(max(int(opt.ans_chunk), 1), ANS_CHUNK_SIZE)
+    lanes = int(opt.rans_lanes)
+    spans = int(opt.lpx_spans)
+
+    # stage 1 (host): m0 dedupe pre-pass
+    s1 = np.asarray(eng.lz_encode(data, 0), dtype=np.uint8)
+    n1 = int(s1.size)
+    cap1 = _bucket_cap(n1)
+    pad1 = np.zeros(cap1, dtype=np.uint8)
+    pad1[:n1] = s1
+    fc = filter_configs(None, opt.filters, s1=s1)
+    if fc is not None:
+        from ..format.constants import FILTER_BLOCK_SIZE
+        from ..kernels.encode_stages import _ceil_div
+
+        f_cap = _ceil_div(cap1, FILTER_BLOCK_SIZE)
+        fc_pad = np.zeros((f_cap, 2), dtype=np.int32)
+        fc_pad[: fc.shape[0]] = fc
+        fc = jnp.asarray(fc_pad)
+    # stages 2+3 (device): filters + Lpx
+    s2, n2, sup = encode_front_jit(jnp.asarray(pad1), jnp.int32(n1), fc,
+                                   lpx_spans=spans)
+    if not bool(sup):
+        raise NotImplementedError(
+            "Lpx span layout outside the device regime (tiny block)")
+    n2 = int(n2)
+    s2_host = np.asarray(jax.device_get(s2[:n2]))
+    # stage 4 (host): the configured match finder on the Lpx output
+    s3 = np.asarray(eng.lz_encode(s2_host, opt.match_finder), dtype=np.uint8)
+    n3 = int(s3.size)
+    cap3 = _bucket_cap(n3)
+    if n3 < max(4 * units, 1024):
+        raise NotImplementedError("stage-4 stream too small for the device "
+                                  "chain")
+    pad3 = np.zeros(cap3, dtype=np.uint8)
+    pad3[:n3] = s3
+    # stages 5+6 (device): forward BWT + anchors + entropy
+    bufs, ptrs, oks, freqs, rlens = encode_back_jit(
+        jnp.asarray(pad3), jnp.int32(n3), units=units, chunk=chunk,
+        lanes=lanes)
+    return crc, _fetch_and_splice(bufs, ptrs, oks, freqs, rlens,
+                                  n3 + 4 * units, chunk, lanes)
 
 
 def _compact_chains_impl(bufs, ptrs):
@@ -128,18 +258,18 @@ def stage4_len(n: int, units: int) -> int:
     return n2 + T + 4 * units
 
 
-def splice_payload(bufs, ptrs, freqs, rlens, n: int, units: int, chunk: int,
+def splice_payload(bufs, ptrs, freqs, rlens, n4: int, chunk: int,
                    lanes: int) -> bytes:
     """Assemble one block's payload from the core's padded (NL, cap)
     outputs (host arrays) — concatenates the chain tails and delegates to
-    splice_dense."""
+    splice_dense.  n4 = the entropy stage's actual input length."""
     lens = bufs.shape[1] - np.asarray(ptrs, dtype=np.int64)
     dense = np.concatenate(
         [bufs[i, int(ptrs[i]):] for i in range(bufs.shape[0])])
-    return splice_dense(dense, lens, freqs, rlens, n, units, chunk, lanes)
+    return splice_dense(dense, lens, freqs, rlens, n4, chunk, lanes)
 
 
-def splice_dense(dense, lens, freqs, rlens, n: int, units: int, chunk: int,
+def splice_dense(dense, lens, freqs, rlens, n4: int, chunk: int,
                  lanes: int) -> bytes:
     """Assemble one block's payload from densely packed chain payloads
     (chain i's bytes at [offs[i], offs[i]+lens[i]), offs = exclusive
@@ -149,7 +279,6 @@ def splice_dense(dense, lens, freqs, rlens, n: int, units: int, chunk: int,
 
     eff = max(lanes, 1)
     C = rlens.size
-    n4 = stage4_len(n, units)
     assert C == _ceil_div(n4, chunk)
     offs = np.concatenate([[0], np.cumsum(lens)])
     out = bytearray()

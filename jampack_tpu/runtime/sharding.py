@@ -194,12 +194,13 @@ def encode_archive_sharded(inp, out, opt, mesh: Mesh = None, engine=None,
     from ..format import framing
     from ..format.constants import ANS_CHUNK_SIZE
     from .device_encode import (encode_block_device, filter_configs,
-                                splice_payload)
+                                splice_payload, stage4_len)
     from .pipeline import Engine, LZ_MODE_STORE, compress_block
 
-    if opt.match_finder != LZ_MODE_STORE or opt.filters not in (0, 1, 2):
+    if opt.match_finder not in (0, 1, 2, LZ_MODE_STORE) \
+            or opt.filters not in (0, 1, 2):
         raise NotImplementedError(
-            "device encode supports match_finder=3 (store) + filters 0/1/2")
+            "device encode supports match_finder 0-3 + filters 0/1/2")
     mesh = mesh or make_mesh()
     D = mesh.devices.size
     blocks = []
@@ -228,16 +229,33 @@ def encode_archive_sharded(inp, out, opt, mesh: Mesh = None, engine=None,
         done[1] += len(payloads[i])
         progress(done[0], done[1])
 
-    # group device-eligible blocks by length (archives keep the block size
-    # constant except the tail, so this is one group + maybe one straggler)
-    by_len = {}
-    for i, blk in enumerate(blocks):
-        if blk.size >= dev_min:
-            by_len.setdefault(blk.size, []).append(i)
-        else:  # tiny tail: host engine, byte-identical by construction
-            crcs[i], payloads[i] = compress_block(blk, opt,
-                                                  engine or Engine())
+    if opt.match_finder != LZ_MODE_STORE:
+        # default-pipeline modes (m0 dedupe pre-pass + configured finder):
+        # host LZ around the device front/back cores, one block at a time
+        # (VERDICT r2 item 4) — archives byte-identical to the host engines
+        from .device_encode import encode_block_device_lz
+
+        for i, blk in enumerate(blocks):
+            try:
+                crcs[i], payloads[i] = encode_block_device_lz(
+                    blk, opt, engine)
+            except NotImplementedError:
+                crcs[i], payloads[i] = compress_block(blk, opt,
+                                                      engine or Engine())
             _tick(i)
+        by_len = {}
+    else:
+        # group device-eligible blocks by length (archives keep the block
+        # size constant except the tail, so this is one group + maybe one
+        # straggler)
+        by_len = {}
+        for i, blk in enumerate(blocks):
+            if blk.size >= dev_min:
+                by_len.setdefault(blk.size, []).append(i)
+            else:  # tiny tail: host engine, byte-identical by construction
+                crcs[i], payloads[i] = compress_block(blk, opt,
+                                                      engine or Engine())
+                _tick(i)
 
     for n, idxs in by_len.items():
         if len(idxs) == 1:
@@ -272,8 +290,8 @@ def encode_archive_sharded(inp, out, opt, mesh: Mesh = None, engine=None,
                                      "encodable in ref-compat mode")
                 crcs[i] = _checksum.integrity_check(blocks[i])
                 payloads[i] = splice_payload(
-                    bufs[j], ptrs[j], freqs[j], rlens[j], n, units, chunk,
-                    lanes)
+                    bufs[j], ptrs[j], freqs[j], rlens[j],
+                    stage4_len(n, units), chunk, lanes)
                 _tick(i)
 
     raw = comp = 0
@@ -313,7 +331,12 @@ def decode_archive_sharded(inp, mesh: Mesh = None, progress=None):
            or r[0].lpx_spans != lpx_spans for r in recs):
         raise ValueError("mixed stream parameters in one archive")
 
-    metas = [block_meta(r[1], lanes) for r in recs]
+    metas = []
+    for i, r in enumerate(recs):
+        try:
+            metas.append(block_meta(r[1], lanes))
+        except ValueError as e:  # attribute host-side parse failures
+            raise ValueError(f"corrupt block {i}: {e}") from e
     shapes = plan_shapes(metas, [len(r[1]) for r in recs], blocksize, lanes)
     step = sharded_full_decode_step(mesh, lanes, units, shapes, lpx_spans)
     sharding1 = NamedSharding(mesh, P("data", None))
@@ -350,10 +373,11 @@ def decode_archive_sharded(inp, mesh: Mesh = None, progress=None):
                     progress(done_raw, done_comp)
                 continue
             if not bool(oks[j]):
-                raise ValueError("device decode failed (corrupt stream)")
+                raise ValueError(
+                    f"device decode failed (corrupt stream) at block {i}")
             data = out[j, : int(ns[j])]
             if _checksum.integrity_check(data) != (recs[i][0].crc & 0xFFFFFFFF):
-                raise ValueError("detected corrupt block")
+                raise ValueError(f"detected corrupt block {i}")
             out_parts[i] = data.tobytes()
             if progress is not None:
                 done_raw += data.size

@@ -475,3 +475,41 @@ def test_lpx_many_spans_regime():
     out = decode_block_device(pay_h, crc_h, opt.blocksize, opt.anchor_units,
                               opt.rans_lanes, opt.lpx_spans)
     assert np.array_equal(out, data)
+
+
+def test_dyn_encode_one_compile_per_bucket():
+    """Distinct (non-snapped) block lengths inside one pow2 capacity
+    bucket must reuse ONE XLA compile of the dyn encode core (VERDICT r2
+    item 5) — and still match the host engines byte-for-byte."""
+    from jampack_tpu.kernels.encode_stages import encode_block_dyn_core
+    from jampack_tpu.runtime.device_encode import encode_block_device
+
+    opt = Options(blocksize=1 << 20, match_finder=3, filters=0,
+                  rans_lanes=4, ans_chunk=2048, anchor_units=16,
+                  lpx_spans=4)
+    before = encode_block_dyn_core._cache_size()
+    for n in (33000, 40009, 65536):  # all in the 64 KiB bucket
+        data = _corpus(n + 8)[:n]
+        crc_d, pay_d = encode_block_device(data, opt)
+        crc_h, pay_h = compress_block(data, opt, Engine())
+        assert (crc_d, pay_d) == (crc_h, pay_h), n
+    assert encode_block_dyn_core._cache_size() - before <= 1
+
+
+def test_fused_default_mode_golden():
+    """`--engine fused c` at DEFAULT Options must produce the reference's
+    archive byte-for-byte (VERDICT r2 item 4): m0 dedupe pre-pass +
+    configured m0 stage-4 finder on the host, filters+Lpx and BWT+entropy
+    device-resident (golden_f1.jam is oracle-locked reference output)."""
+    import io
+    import pathlib
+
+    from jampack_tpu.runtime.sharding import encode_archive_sharded, make_mesh
+
+    fix = pathlib.Path(__file__).parent / "fixtures"
+    data = np.fromfile(fix / "golden_input.bin", dtype=np.uint8)
+    golden = (fix / "golden_f1.jam").read_bytes()
+    out = io.BytesIO()
+    encode_archive_sharded(io.BytesIO(data.tobytes()), out, Options(),
+                           make_mesh())
+    assert out.getvalue() == golden
