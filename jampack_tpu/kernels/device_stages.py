@@ -378,7 +378,21 @@ def lz_decode_dyn_core(buf: jnp.ndarray, n, max_tokens: int, out_cap: int):
     Returns (out (out_cap,) u8, out_len, ok)."""
     d_, s_, l_, o_, m_, t, out_len, bad = lz_parse_core(
         buf, n, max_tokens, out_cap)
-    out = lz_expand_core(buf, d_, s_, l_, o_, m_, out_len, out_cap)
+
+    def fast(_):
+        # single end-token stream (store mode, or m0 with no >=256-byte
+        # dupes — every bench/text stream): the output is one contiguous
+        # literal run, a dynamic_slice — skips the region scatter/cumsum
+        # machinery AND its shift-of-iota gather (~0.3 s per 8 MB stage)
+        sl = jax.lax.dynamic_slice(
+            jnp.pad(buf, (0, out_cap)), (jnp.maximum(s_[0], 0),), (out_cap,))
+        return jnp.where(jnp.arange(out_cap, dtype=jnp.int32) < out_len,
+                         sl, 0)
+
+    def slow(_):
+        return lz_expand_core(buf, d_, s_, l_, o_, m_, out_len, out_cap)
+
+    out = jax.lax.cond(t == 1, fast, slow, None)
     return out, out_len, ~bad
 
 

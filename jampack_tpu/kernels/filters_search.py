@@ -369,7 +369,14 @@ def sorted_entropy_scores_core(streams: jnp.ndarray, lens: jnp.ndarray,
     of each lane: order-1 entropy of the counting-sort-induced generalized
     BWT.  One stable sort per lane carries prev as payload (no gather)."""
     s32 = streams.astype(jnp.int32)
-    prev = jnp.roll(s32, 1, axis=1)  # prev[0] = buf[-1], like np.roll
+    # prev[0] = buf[n-1] like the spec's np.roll of the UNPADDED lane —
+    # rolling the padded row read the zero padding there for ragged tails
+    # (caught by the on-chip parity smoke: a 2-byte tail scored 1.0 bit
+    # instead of 0.0 and flipped the chunk's -f1 pick)
+    prev = jnp.roll(s32, 1, axis=1)
+    last = jnp.take_along_axis(
+        s32, (jnp.maximum(lens, 1) - 1)[:, None], axis=1)
+    prev = jnp.concatenate([last, prev[:, 1:]], axis=1)
     j = jnp.arange(_FBS, dtype=jnp.int32)
     # pad keys sort last and are masked out of the histogram anyway
     keys = jnp.where(j[None, :] < lens[:, None], s32, 0x1FF)

@@ -513,3 +513,27 @@ def test_fused_default_mode_golden():
     encode_archive_sharded(io.BytesIO(data.tobytes()), out, Options(),
                            make_mesh())
     assert out.getvalue() == golden
+
+
+def test_f1_device_scores_ragged_tail():
+    """sorted_entropy_scores_core must match the f64 spec on RAGGED lanes:
+    prev[0] wraps to the lane's last REAL byte, not the row padding.
+    Regression for the on-chip parity failure (a 2-byte tail scored
+    1.0 bit instead of 0.0 and flipped its -f1 pick)."""
+    from jampack_tpu.kernels.filters_search import (
+        _FBS, sorted_entropy_scores_core)
+    from jampack_tpu.stages.filters import sorted_entropy
+
+    rng = np.random.default_rng(9)
+    rows, lens, exact = [], [], []
+    for n in (2, 1, 3, 100, 517, _FBS):
+        buf = rng.integers(0, 256, n).astype(np.uint8)
+        row = np.zeros(_FBS, np.uint8)
+        row[:n] = buf
+        rows.append(row)
+        lens.append(n)
+        exact.append(sorted_entropy(buf))
+    dev = np.asarray(sorted_entropy_scores_core(
+        jnp.asarray(np.stack(rows)), jnp.asarray(np.asarray(lens, np.int32)),
+        len(rows)))
+    assert np.allclose(dev, np.asarray(exact), atol=1e-4), (dev, exact)
