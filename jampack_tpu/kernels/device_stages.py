@@ -524,13 +524,16 @@ def lpx_dyn_core(buf: jnp.ndarray, n, out_cap: int, decode: bool,
     model, so it directly divides the lockstep walk length."""
     S = spans
     b = n // S
-    # the tail span is < S long and a main span is <= out_cap//S long, so
-    # max of the two (+pad) bounds every row — the old sum form inflated
-    # every (S+1, span_cap) array (and the deal/undeal data movement) 1.5x
-    span_cap = max(out_cap // S, S) + 4
+    # a main span is <= out_cap//S long and the ragged tail <= b, so
+    # out_cap//S (+pad) bounds every row.  The tiny regime (b == 0: one
+    # span of n < S bytes) is supported only while n also fits that row —
+    # sizing span_cap by S instead made every (S+1, span_cap) array (and
+    # the column-strided walk reads) balloon once S > out_cap//S: measured
+    # 10x per-step blowup at spans=8192 on an 8 MB block
+    span_cap = max(out_cap // S, 4) + 4
     tiny = b == 0
     # the (S+1)-lane layout is exact iff the ragged tail fits one piece
-    supported = tiny | ((n - S * b) <= b)
+    supported = jnp.where(tiny, n <= span_cap - 4, (n - S * b) <= b)
     starts = jnp.where(
         tiny,
         jnp.zeros(S + 1, jnp.int32),

@@ -81,11 +81,15 @@ def encode_block_device(data: np.ndarray, opt: Options):
     T = len(write_token(LZ_MIN_MATCH, LZ_MIN_MATCH, 0))
     n2 = (n + T) + 2 * _ceil_div(n + T, FILTER_BLOCK_SIZE)
     b = n2 // spans
+    cap = _bucket_cap(n)
+    f_cap = _ceil_div(cap + T, FILTER_BLOCK_SIZE)
+    span_cap = max(f_cap * (FILTER_BLOCK_SIZE + 2) // spans, 4) + 4
     fc = filter_configs(data, opt.filters)
-    if b > 0 and (n2 - spans * b) > b:
-        # many-piece Lpx regime (> spans+1 pieces, only when
-        # n2 < spans*(spans+1)): the dyn core's spans+1-lane layout can't
-        # express it — take the exact static split (one compile per
+    if (b > 0 and (n2 - spans * b) > b) or (b == 0 and n2 > span_cap - 4):
+        # Lpx regimes the dyn core's (spans+1, out_cap//spans) layout
+        # can't express — many pieces (> spans+1, only when
+        # n2 < spans*(spans+1)) or a tiny single span longer than the
+        # capacity row: take the exact static split (one compile per
         # length, confined to this corner)
         from ..kernels.encode_stages import encode_block_core
 
@@ -94,11 +98,9 @@ def encode_block_device(data: np.ndarray, opt: Options):
             n=n, units=units, chunk=chunk, lanes=lanes, lpx_spans=spans)
         return crc, _fetch_and_splice(bufs, ptrs, oks, freqs, rlens,
                                       stage4_len(n, units), chunk, lanes)
-    cap = _bucket_cap(n)
     padded = np.zeros(cap, dtype=np.uint8)
     padded[:n] = data
     if fc is not None:
-        f_cap = _ceil_div(cap + T, FILTER_BLOCK_SIZE)
         fc_pad = np.zeros((f_cap, 2), dtype=np.int32)
         fc_pad[: fc.shape[0]] = fc
         fc = jnp.asarray(fc_pad)

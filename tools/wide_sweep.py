@@ -82,7 +82,7 @@ def main():
     buf = np.zeros(cap, np.uint8)
     buf[:n] = data
     bufd = jax.device_put(jnp.asarray(buf))
-    for spans in (4096, 8192, 16384):
+    for spans in (4096, 8192):
         fn = jax.jit(partial(lpx_dyn_core, out_cap=cap, decode=True,
                              spans=spans))
         out, sup = fn(bufd, n)
