@@ -673,6 +673,30 @@ def ibwt_dyn_core(buf: jnp.ndarray, total, units: int, out_cap: int):
 from .rans_wide import decode_lanes_wide
 
 
+def _use_pallas_rans() -> bool:
+    """Route the entropy stage through the Pallas step kernel
+    (rans_pallas.py).  JAMPACK_RANS_PALLAS=0/1 overrides; the default is
+    the TPU backend (the kernel exists to kill the XLA loop's per-step
+    HBM intermediates, which only the real chip exhibits — CPU tests keep
+    exercising the XLA reference kernel)."""
+    import os
+
+    env = os.environ.get("JAMPACK_RANS_PALLAS")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() == "tpu"
+
+
+def _decode_lanes(payload, starts, rlens, max_rlen, groups=0):
+    if _use_pallas_rans():
+        from .rans_pallas import decode_lanes_wide_pallas
+
+        return decode_lanes_wide_pallas(payload, starts, rlens,
+                                        max_rlen=max_rlen, groups=groups)
+    return decode_lanes_wide(payload, starts, rlens, max_rlen=max_rlen,
+                             groups=groups)
+
+
 def decode_block_core(payload: jnp.ndarray, starts: jnp.ndarray,
                       rlens: jnp.ndarray, chunk_olens: jnp.ndarray,
                       chunk_rlens: jnp.ndarray, freqs: jnp.ndarray,
@@ -704,10 +728,10 @@ def decode_block_core(payload: jnp.ndarray, starts: jnp.ndarray,
     # "lane undeal" costs nothing (the reshape+transpose form cost ~1.8 s
     # per 8 MB block on this platform)
     if lanes >= 2:
-        chunk_syms, eok = decode_lanes_wide(
+        chunk_syms, eok = _decode_lanes(
             payload, starts, rlens, max_rlen=rmax, groups=CMAX)
     else:
-        syms, eok = decode_lanes_wide(payload, starts, rlens, max_rlen=rmax)
+        syms, eok = _decode_lanes(payload, starts, rlens, max_rlen=rmax)
         chunk_syms = syms[:CMAX]
 
     # ---- 3. RLE0 per chunk

@@ -1,0 +1,128 @@
+"""Pallas wide-rANS step kernel vs the XLA lockstep decoder.
+
+Interpret-mode on the CPU backend checks the kernel's SEMANTICS (the
+arithmetic, masking and layout); Mosaic lowering is validated on hardware
+by tools/chip_parity.py (CLAUDE.md round-2/3 lesson: the CPU backend is
+not a faithful proxy for TPU lowering).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from jampack_tpu.kernels.rans_pallas import (
+    _div_fix16,
+    decode_lanes_wide_pallas,
+)
+from jampack_tpu.kernels.rans_wide import decode_lanes_wide
+from jampack_tpu.stages.ans import (
+    ans_encode_chunk,
+    lane_rlen,
+    read_chunk_header,
+    read_lane_table,
+)
+
+RNG = np.random.default_rng(11)
+
+
+def test_div_fix16_exact():
+    """floor((f << 16) / t2) against the uint64 reference, adversarial
+    corners: t2 extremes, f == t2 (quotient exactly 2^16), near-exact
+    multiples where a correctly-rounded f32 estimate sits on the floor
+    boundary, and dense random sweeps."""
+    cases = []
+    for t2 in (1, 2, 3, 5, 127, 128, 129, 255, 256, 257, 65535, 65536):
+        fs = np.unique(np.clip(np.concatenate([
+            np.arange(0, min(t2 + 1, 300)),
+            t2 - np.arange(0, 5), np.asarray([t2]),
+            (np.arange(1, 40) * t2 * 65536) // 65536 // max(t2, 1),
+            RNG.integers(0, t2 + 1, 200),
+        ]), 0, 65536))
+        for f in fs:
+            cases.append((int(f), int(t2)))
+    # near-exact multiples: f chosen so f*2^16 mod t2 is 0 or t2-1
+    for t2 in RNG.integers(2, 65537, 300):
+        k = int(RNG.integers(1, 65537))
+        f = (k * int(t2)) >> 16
+        for ff in (f, f + 1):
+            if 0 <= ff <= min(int(t2), 65536):
+                cases.append((ff, int(t2)))
+    f = jnp.asarray([c[0] for c in cases], jnp.int32)
+    t2 = jnp.asarray([c[1] for c in cases], jnp.int32)
+    got = np.asarray(_div_fix16(f, t2), np.int64)
+    want = (np.asarray([c[0] for c in cases], np.uint64) << 16) \
+        // np.asarray([c[1] for c in cases], np.uint64)
+    bad = np.nonzero(got != want.astype(np.int64))[0]
+    assert bad.size == 0, (cases[bad[0]], got[bad[0]], want[bad[0]])
+
+
+def _chunk_case(n, lanes, seed, hi=60):
+    rng = np.random.default_rng(seed)
+    data = np.repeat(rng.integers(0, hi, n, dtype=np.uint8),
+                     rng.integers(1, 20, n)).astype(np.uint8)[:n]
+    blob = ans_encode_chunk(data, lanes)
+    view = memoryview(blob)
+    freqs, olen, clen, rlen, pos = read_chunk_header(view, 0)
+    lane_clens, p = read_lane_table(view, pos, rlen, lanes)
+    starts = np.cumsum([p] + lane_clens[:-1]).astype(np.int32)
+    rlens = np.asarray([lane_rlen(rlen, lanes, l) for l in range(lanes)],
+                       np.int32)
+    buf = np.zeros(len(blob) + 64, np.uint8)
+    buf[:len(blob)] = np.frombuffer(blob, np.uint8)
+    return buf, starts, rlens
+
+
+def _both(buf, starts, rlens, mr, groups=0):
+    a, aok = decode_lanes_wide(jnp.asarray(buf), jnp.asarray(starts),
+                               jnp.asarray(rlens), mr, groups=groups)
+    b, bok = decode_lanes_wide_pallas(
+        jnp.asarray(buf), jnp.asarray(starts), jnp.asarray(rlens), mr,
+        groups=groups, interpret=True)
+    return (np.asarray(a), np.asarray(aok)), (np.asarray(b),
+                                              np.asarray(bok))
+
+
+@pytest.mark.parametrize("n,lanes,seed", [
+    (3000, 4, 1), (6000, 8, 2), (900, 2, 3), (20000, 16, 4)])
+def test_pallas_decode_matches_wide(n, lanes, seed):
+    buf, starts, rlens = _chunk_case(n, lanes, seed)
+    mr = 1 << int(np.max(rlens) - 1).bit_length()
+    (a, aok), (b, bok) = _both(buf, starts, rlens, mr)
+    assert np.array_equal(aok, bok)
+    assert aok.all()
+    assert np.array_equal(a, b)
+
+
+def test_pallas_decode_grouped_slab_and_padding_lanes():
+    buf, starts, rlens = _chunk_case(4000, 4, 9)
+    # batch-pad to 8 lanes (rlens = -1): slab layout with 2 groups
+    starts = np.concatenate([starts, np.zeros(4, np.int32)])
+    rlens = np.concatenate([rlens, np.full(4, -1, np.int32)])
+    mr = 1 << int(np.max(rlens) - 1).bit_length()
+    (a, aok), (b, bok) = _both(buf, starts, rlens, mr, groups=2)
+    assert np.array_equal(aok, bok) and np.array_equal(a, b)
+
+
+def test_pallas_decode_garbage_stream_parity():
+    """Hardened-decode path: corrupted payloads must produce the SAME
+    bytes and the SAME ok verdict as the XLA kernel (u16 wrap, unsigned
+    renorm compare, logical shifts — the garbage-regime bit emulations)."""
+    buf, starts, rlens = _chunk_case(5000, 4, 21)
+    for seed in range(4):
+        rng = np.random.default_rng(seed)
+        bad = buf.copy()
+        flips = rng.integers(int(starts[0]), buf.size, 25)
+        bad[flips] ^= rng.integers(1, 255, 25).astype(np.uint8)
+        mr = 1 << int(np.max(rlens) - 1).bit_length()
+        (a, aok), (b, bok) = _both(bad, starts, rlens, mr)
+        assert np.array_equal(aok, bok), seed
+        assert np.array_equal(a, b), seed
+
+
+def test_pallas_decode_empty_and_tiny_lanes():
+    # rlen 0 lanes freeze immediately; uneven tiny lanes exercise the
+    # active-mask edges
+    buf, starts, rlens = _chunk_case(40, 2, 5)
+    mr = max(1 << int(max(np.max(rlens), 1) - 1).bit_length(), 2)
+    (a, aok), (b, bok) = _both(buf, starts, rlens, mr)
+    assert np.array_equal(aok, bok) and np.array_equal(a, b)
