@@ -78,54 +78,66 @@ def main():
     from jampack_tpu.kernels.sa import bwt_from_prev_sorted, sa_doubling_core
 
     mb = 8
-    n = (mb << 20) - ((mb << 20) % 120)
-    units = 120
-    step = n // units
+    n = (mb << 20) - ((mb << 20) % (120 * 16))
     data = textlike(n)
     td = jax.device_put(jnp.asarray(data))
 
-    # both directions fuse profitably now that emission is gather-free
-    @jax.jit
-    def forward(t):
-        sa, isa, prev_sorted = sa_doubling_core(t, n)
-        bwt = bwt_from_prev_sorted(prev_sorted, isa[0], n)
-        return bwt, isa[: units * step : step] + 1
+    def make_fns(units):
+        step = n // units
 
-    @jax.jit
-    def inverse(bwt, anchors):
-        cmap = combined_map_core(bwt, anchors[0], n)
-        return chase_combined_core(cmap, anchors, n, units)
+        # both directions fuse profitably now that emission is gather-free
+        @jax.jit
+        def forward(t):
+            sa, isa, prev_sorted = sa_doubling_core(t, n)
+            bwt = bwt_from_prev_sorted(prev_sorted, isa[0], n)
+            return bwt, isa[: units * step : step] + 1
 
-    # warmup compiles
-    bwt, anchors = forward(td)
-    out = inverse(bwt, anchors)
-    _sync(out)
+        @jax.jit
+        def inverse(bwt, anchors):
+            cmap = combined_map_core(bwt, anchors[0], n)
+            return chase_combined_core(cmap, anchors, n, units)
 
-    # best-of-trials: the tunneled chip is shared, so per-process contention
-    # varies +/-50%; min time measures the hardware, not the tunnel.
-    reps, trials = 3, 3
-    t_fwd = t_inv = float("inf")
-    for _ in range(trials):
-        t0 = time.time()
-        for _ in range(reps):
-            bwt, anchors = forward(td)
-            _sync(bwt)
-            _sync(anchors)
-        t_fwd = min(t_fwd, (time.time() - t0) / reps)
-        t0 = time.time()
-        for _ in range(reps):
-            out = inverse(bwt, anchors)
-            _sync(out)
-        t_inv = min(t_inv, (time.time() - t0) / reps)
+        return forward, inverse
 
-    exact = np.array_equal(np.asarray(jax.device_get(out)), data)
+    def run(units, reps=3, trials=3):
+        """Best-of-trials: the tunneled chip is shared, so per-process
+        contention varies +/-50%; min time measures the hardware."""
+        forward, inverse = make_fns(units)
+        bwt, anchors = forward(td)  # warmup compiles
+        out = inverse(bwt, anchors)
+        _sync(out)
+        t_fwd = t_inv = float("inf")
+        for _ in range(trials):
+            t0 = time.time()
+            for _ in range(reps):
+                bwt, anchors = forward(td)
+                _sync(bwt)
+                _sync(anchors)
+            t_fwd = min(t_fwd, (time.time() - t0) / reps)
+            t0 = time.time()
+            for _ in range(reps):
+                out = inverse(bwt, anchors)
+                _sync(out)
+            t_inv = min(t_inv, (time.time() - t0) / reps)
+        exact = np.array_equal(np.asarray(jax.device_get(out)), data)
+        return t_fwd, t_inv, exact
+
+    # metric of record: reference-compatible stream (120 anchor units,
+    # jampack.cpp's fixed count); native JT3 streams raise the anchor count
+    # (-u#) to cut the serial chase depth — report that too (VERDICT r2 #6)
+    t_fwd, t_inv, exact = run(120)
+    t_fwd_n, t_inv_n, exact_n = run(1920)
+    native_gbps = 2 * n / 1e9 / (t_fwd_n + t_inv_n)
     value = 2 * n / 1e9 / (t_fwd + t_inv)
+    extra = _e2e_metrics(data)
+    extra["bwt_codec_tpu_native_stream_u1920_gbps"] = (
+        round(native_gbps, 5) if exact_n else "error: inverse mismatch")
     result = {
         "metric": "bwt_codec_tpu_combined_8mb",
         "value": round(value, 5),
         "unit": "GB/s/chip",
         "vs_baseline": round(value / REF_BWT_COMBINED_GBPS, 3),
-        "extra": _e2e_metrics(data),
+        "extra": extra,
     }
     wd.cancel()
     print(json.dumps(result))

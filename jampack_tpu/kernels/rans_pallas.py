@@ -198,7 +198,10 @@ def _rans_step_kernel(i_ref, bank_ref, qf_ref, qse_ref, regs_ref, wb_ref,
     # uint16 wrap parity: rans_wide stores the bank as uint16, so its
     # in-segment diffs wrap mod 2^16 on (hardened-path) garbage streams
     d = (bank - jnp.where(seg_start, 0, bsh)) & jnp.int32(0xFFFF)
-    le1 = jnp.where(seg_start, True, pltpu.roll(le, 1, axis=0))
+    # le shifted down one row = (bank[r-1] <= rc[r-1]); within a segment rc
+    # is row-constant so bsh <= rc is exact, and seg-start rows are
+    # overridden (Mosaic cannot rotate i1 vectors, so reuse the i32 roll)
+    le1 = seg_start | (bsh <= rc)
     oh = le1 & jnp.logical_not(le)           # one-hot of cum[m+1]
 
     dlo, dhi = _bplanes(d)
