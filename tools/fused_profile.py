@@ -76,9 +76,23 @@ def main():
         print(f"{name:28s} {best*1e3:9.1f} ms")
         return r
 
-    # 1. wide rANS, emitting directly in per-chunk undealt layout
+    # 1. wide rANS, emitting directly in per-chunk undealt layout — time
+    # BOTH the XLA lockstep kernel and the Pallas step kernel (the default
+    # TPU-backend route, kernels/rans_pallas.py)
     f1 = jax.jit(partial(decode_lanes_wide, max_rlen=rmax, groups=CMAX))
-    chunk_syms, eok = timeit("rans_wide+undeal", f1, pay, starts, rlens)
+    chunk_syms, eok = timeit("rans_wide+undeal (xla)", f1, pay, starts,
+                             rlens)
+    try:
+        from jampack_tpu.kernels.rans_pallas import decode_lanes_wide_pallas
+        fp = partial(decode_lanes_wide_pallas, max_rlen=rmax, groups=CMAX)
+        ps, pok = timeit("rans_wide+undeal (pallas)", fp, pay, starts,
+                         rlens)
+        if bool(np.array_equal(np.asarray(ps), np.asarray(chunk_syms))):
+            chunk_syms, eok = ps, pok
+        else:
+            print("  WARNING: pallas/xla mismatch — keeping xla output")
+    except Exception as e:
+        print(f"  pallas kernel unavailable: {e}")
 
     # 3. rle0
     f3 = jax.jit(jax.vmap(lambda s, rl, ol: ds.rle0_decode_core(s, rl, ol, ocap)))
