@@ -146,14 +146,27 @@ def main():
         sys.exit(1)
 
 
+def _best_of(fn, trials: int = 3) -> float:
+    """Best-of-trials wall time: the tunneled chip is shared, so
+    per-process contention varies +/-50%; min time measures the hardware
+    (CLAUDE.md bench rule — applies to EVERY e2e metric, VERDICT r3 #2)."""
+    import time
+
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return best
+
+
 def _e2e_metrics(data: np.ndarray) -> dict:
     """Secondary end-to-end numbers (VERDICT r1 item 1): full-pipeline
     decode GB/s/chip on the 8 MB block for the hybrid engine (native host
     serial stages + TPU BWT kernels) and for the fully device-resident
     fused decode chain, plus native encode MB/s.  Failures degrade to
-    error strings so the primary metric always prints."""
-    import time
-
+    error strings so the primary metric always prints.  Every timed entry
+    is best-of-3 after a warmup call."""
     out = {}
     n = int(data.size)
     try:
@@ -163,18 +176,15 @@ def _e2e_metrics(data: np.ndarray) -> dict:
 
         ne = NativeEngine()
         opt = Options(blocksize=n, filters=0, match_finder=0)
-        t0 = time.time()
-        crc, payload = compress_block(data, opt, ne)
-        out["encode_native_8mb_mbps"] = round(n / 1e6 / (time.time() - t0), 2)
+        crc, payload = compress_block(data, opt, ne)  # warmup
+        out["encode_native_8mb_mbps"] = round(
+            n / 1e6 / _best_of(lambda: compress_block(data, opt, ne)), 2)
 
         he = HybridEngine()
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            back = decompress_block(payload, crc, he, opt.blocksize)
-            best = min(best, time.time() - t0)
+        back = decompress_block(payload, crc, he, opt.blocksize)  # warmup
         assert np.array_equal(back, data)
-        out["decode_e2e_hybrid_8mb_gbps"] = round(n / 1e9 / best, 5)
+        out["decode_e2e_hybrid_8mb_gbps"] = round(n / 1e9 / _best_of(
+            lambda: decompress_block(payload, crc, he, opt.blocksize)), 5)
     except Exception as e:  # pragma: no cover
         out["decode_e2e_hybrid_8mb_gbps"] = f"error: {e}"
 
@@ -188,13 +198,11 @@ def _e2e_metrics(data: np.ndarray) -> dict:
         eopt = _O(blocksize=n, match_finder=3, filters=0, rans_lanes=16,
                   ans_chunk=8 << 10, anchor_units=960, lpx_spans=4096)
         crc_e, pay_e = encode_block_device(data, eopt)  # warmup/compile
-        t0 = time.time()
-        crc_e, pay_e = encode_block_device(data, eopt)
-        dt = time.time() - t0
         from jampack_tpu.runtime.engines import NativeEngine as _NE
         from jampack_tpu.runtime.pipeline import compress_block as _cb
         assert (crc_e, pay_e) == _cb(data, eopt, _NE())  # byte contract
-        out["encode_e2e_tpu_fused_8mb_mbps"] = round(n / 1e6 / dt, 2)
+        out["encode_e2e_tpu_fused_8mb_mbps"] = round(
+            n / 1e6 / _best_of(lambda: encode_block_device(data, eopt)), 2)
     except Exception as e:  # pragma: no cover
         out["encode_e2e_tpu_fused_8mb_mbps"] = f"error: {e}"
 
@@ -215,12 +223,10 @@ def _e2e_metrics(data: np.ndarray) -> dict:
                                    opt.anchor_units, opt.rans_lanes,
                                    opt.lpx_spans)  # warmup
         assert np.array_equal(back, data)
-        t0 = time.time()
-        back = decode_block_device(payload, crc, opt.blocksize,
-                                   opt.anchor_units, opt.rans_lanes,
-                                   opt.lpx_spans)
-        dt = time.time() - t0
-        out["decode_e2e_tpu_fused_8mb_gbps"] = round(n / 1e9 / dt, 5)
+        out["decode_e2e_tpu_fused_8mb_gbps"] = round(n / 1e9 / _best_of(
+            lambda: decode_block_device(payload, crc, opt.blocksize,
+                                        opt.anchor_units, opt.rans_lanes,
+                                        opt.lpx_spans)), 5)
     except Exception as e:  # pragma: no cover
         out["decode_e2e_tpu_fused_8mb_gbps"] = f"error: {e}"
     return out

@@ -84,3 +84,12 @@ def test_cli_fused_engine(tmp_path):
     assert jam.read_bytes() == jam2.read_bytes()
     run(["jam", "d", str(jam), str(back), "--engine=fused"])
     assert back.read_bytes() == data
+
+
+def test_default_engine_is_native():
+    """VERDICT r3 #10: the default decode engine is pinned to `native` —
+    measured 2.6x faster than hybrid on 1-core hosts (BENCH_r03:
+    native 0.0166 GB/s vs hybrid 0.0063; the per-dispatch tunnel tax
+    exceeds the single-core BWT hybrid replaces)."""
+    _, _, _, _, engine = _parse(["jam", "d", "a", "b"])
+    assert engine == "native"

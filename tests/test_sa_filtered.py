@@ -1,10 +1,21 @@
-"""Filtered prefix doubling vs the executable-spec suffix array."""
+"""Filtered prefix doubling vs the executable-spec suffix array.
+
+The filtered-doubling experiment lives in tools/sa_filtered.py (retired
+from the package in round 4 — measured slower than the straight doubling
+kernel on this platform, see ARCHITECTURE.md); this test keeps the tool
+honest against the spec since it remains the documented starting point
+for a device-resident cond-switch variant."""
+
+import pathlib
+import sys
 
 import numpy as np
 import pytest
 
-from jampack_tpu.kernels.sa_filtered import suffix_array_tpu_filtered
-from jampack_tpu.stages.bwt import suffix_array
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1] / "tools"))
+from sa_filtered import suffix_array_tpu_filtered  # noqa: E402
+
+from jampack_tpu.stages.bwt import suffix_array  # noqa: E402
 
 RNG = np.random.default_rng(99)
 
@@ -36,7 +47,7 @@ def test_device_resident_filtered_matches_spec(idx):
     import jax
     import jax.numpy as jnp
 
-    from jampack_tpu.kernels.sa_filtered import _sa_doubling_filtered
+    from sa_filtered import _sa_doubling_filtered
 
     data = list(cases())[idx]
     if data.size < 2:

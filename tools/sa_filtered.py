@@ -45,7 +45,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .sa import _INIT_WORDS, _pack4
+from jampack_tpu.kernels.sa import _INIT_WORDS, _pack4
 
 
 def _head_ranks_and_ties(bnd, n_or_m):
