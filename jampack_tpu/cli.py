@@ -12,7 +12,8 @@ Extra: --engine numpy|native|tpu|hybrid|fused (default native; fused = the
 device-resident block-level chain, one block per device across the local
 mesh — encode needs -m3 and -f0/1/2); JTX/JT3 stream
 parameters -u# BWT anchor units, -c# ANS chunk KB, -L# rANS lane-interleave
-width, -S# Lpx span count (intra-block Lpx parallel width).
+width, -S# Lpx span count (intra-block Lpx parallel width; 0 = skip the Lpx
+stage), -Sa auto-gate Lpx per block (skip where measured gain is nil).
 """
 
 import sys
@@ -23,7 +24,7 @@ import numpy as np
 
 from .format import framing
 from .format.constants import DEFAULT_BLOCKSIZE
-from .runtime.pipeline import Options, compress_block, decompress_block
+from .runtime.pipeline import Options, compress_block_ex, decompress_block
 
 
 def plan_workers(opt) -> int:
@@ -128,10 +129,16 @@ def _parse(argv):
 
                     opt.rans_lanes = validate_rans_lanes(int(num))
                 elif c == "S" and num:
-                    # JT3 Lpx span count (intra-block Lpx parallel width)
+                    # JT3 Lpx span count (intra-block Lpx parallel width);
+                    # 0 = skip the Lpx stage on every block
                     from .runtime.pipeline import validate_lpx_spans
 
                     opt.lpx_spans = validate_lpx_spans(int(num))
+                elif c == "S" and rest[:1] == "a":
+                    # -Sa: per-block auto gate — measure the Lpx stage's
+                    # gain and skip it (JT3 spans=0) where it earns nothing
+                    opt.lpx_auto = True
+                    rest = rest[1:]
                 elif c == "m" and num:
                     from .runtime.pipeline import validate_match_finder
 
@@ -225,7 +232,7 @@ def run(argv):
         if mode == "c":
             def encode_one(blob):
                 data = np.frombuffer(blob, dtype=np.uint8)
-                return compress_block(data, opt, engine)
+                return compress_block_ex(data, opt, engine)
 
             from collections import deque
 
@@ -249,10 +256,10 @@ def run(argv):
                         window.append(pool.submit(encode_one, blob))
                     if not window:
                         break
-                    crc, payload = window.popleft().result()
+                    crc, payload, spans = window.popleft().result()
                     framing.write_block(fout, crc, payload, opt.blocksize,
                                         opt.anchor_units, opt.rans_lanes,
-                                        opt.lpx_spans)
+                                        spans)
                     comp += len(payload) + framing.HEADER_SIZE
                     progress.update(raw, comp)
         elif mode == "d":

@@ -32,6 +32,10 @@ MAGIC_NATIVE3 = b"JT3"
 MAX_RANS_LANES = 4096  # mirrored by runtime.pipeline.validate_rans_lanes
 MAX_LPX_SPANS = 1 << 16
 DEFAULT_LPX_SPANS = 4  # the reference's format-fixed split (lpx.cpp:150)
+# lpx_spans == 0 in a JT3 ext word means the Lpx stage was SKIPPED for this
+# block (round 4): the encoder sets it when its measured Lpx gain is below
+# threshold, removing the decode chain's dominant serial-walk term.  0 was
+# never a valid span count, so every JT3 stream ever written still parses.
 
 _HEADER = struct.Struct("<3sIii")
 _NATIVE_EXT = struct.Struct("<ii")
@@ -111,7 +115,7 @@ def read_block(inp, want_payload: bool = True):
             raise ValueError("corrupt native anchor count")
         if lanes < 0 or lanes == 1 or lanes > MAX_RANS_LANES:
             raise ValueError("corrupt native lane count")
-        if lpx_spans < 1 or lpx_spans > MAX_LPX_SPANS:
+        if lpx_spans < 0 or lpx_spans > MAX_LPX_SPANS:
             raise ValueError("corrupt native lpx span count")
     if not want_payload:
         # forward skip: seek when possible, bounded read otherwise

@@ -775,8 +775,14 @@ def decode_block_core(payload: jnp.ndarray, starts: jnp.ndarray,
     # ---- 6..9. inverse BWT, LZ (mode), Lpx, filters, LZ (dedupe)
     stage, n, ib_ok = ibwt_dyn_core(stage, total, units, out_cap)
     stage, n, lz1_ok = lz_decode_dyn_core(stage, n, max_tokens, out_cap)
-    stage, lpx_sup = lpx_dyn_core(stage, n, out_cap, decode=True,
-                                  spans=lpx_spans)
+    if lpx_spans > 0:
+        stage, lpx_sup = lpx_dyn_core(stage, n, out_cap, decode=True,
+                                      spans=lpx_spans)
+    else:
+        # spans == 0: the encoder measured no Lpx gain and skipped the
+        # stage (framing.py JT3 ext word) — the decode chain's dominant
+        # serial-walk term drops out entirely
+        lpx_sup = jnp.bool_(True)
     stage, n, f_ok = filters_decode_dyn_core(stage, n, out_cap)
     out, n, lz0_ok = lz_decode_dyn_core(stage, n, max_tokens, out_cap)
 

@@ -378,10 +378,14 @@ def encode_front_core(s1: jnp.ndarray, n1, fconfigs, *, lpx_spans: int):
     nf = (n1 + FBS - 1) // FBS
     n2 = n1 + 2 * nf
 
-    from .device_stages import lpx_dyn_core
+    if lpx_spans > 0:
+        from .device_stages import lpx_dyn_core
 
-    s2, sup = lpx_dyn_core(s2, n2, s2.shape[0], decode=False,
-                           spans=lpx_spans)
+        s2, sup = lpx_dyn_core(s2, n2, s2.shape[0], decode=False,
+                               spans=lpx_spans)
+    else:
+        # spans == 0: Lpx stage skipped for this block (framing.py)
+        sup = jnp.bool_(True)
     return s2, n2, sup
 
 

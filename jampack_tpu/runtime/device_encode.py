@@ -80,12 +80,17 @@ def encode_block_device(data: np.ndarray, opt: Options):
     spans = int(opt.lpx_spans)
     T = len(write_token(LZ_MIN_MATCH, LZ_MIN_MATCH, 0))
     n2 = (n + T) + 2 * _ceil_div(n + T, FILTER_BLOCK_SIZE)
-    b = n2 // spans
     cap = _bucket_cap(n)
     f_cap = _ceil_div(cap + T, FILTER_BLOCK_SIZE)
-    span_cap = max(f_cap * (FILTER_BLOCK_SIZE + 2) // spans, 4) + 4
     fc = filter_configs(data, opt.filters)
-    if (b > 0 and (n2 - spans * b) > b) or (b == 0 and n2 > span_cap - 4):
+    if spans > 0:
+        b = n2 // spans
+        span_cap = max(f_cap * (FILTER_BLOCK_SIZE + 2) // spans, 4) + 4
+        unsupported = ((b > 0 and (n2 - spans * b) > b)
+                       or (b == 0 and n2 > span_cap - 4))
+    else:  # spans == 0: Lpx stage skipped — no span-layout constraint
+        unsupported = False
+    if unsupported:
         # Lpx regimes the dyn core's (spans+1, out_cap//spans) layout
         # can't express — many pieces (> spans+1, only when
         # n2 < spans*(spans+1)) or a tiny single span longer than the

@@ -86,7 +86,7 @@ def compress_stream_part(inp, total_size: int, out_dir: str,
     exactly K*blocksize bytes (including K = 0) carries one extra EMPTY
     block, owned by whichever host the round robin lands on.
     Returns the manifest (block index -> framed byte count)."""
-    from .pipeline import compress_block
+    from .pipeline import compress_block_ex
 
     os.makedirs(out_dir, exist_ok=True)
     bs = int(opt.blocksize)
@@ -103,11 +103,11 @@ def compress_stream_part(inp, total_size: int, out_dir: str,
             inp.seek(index * bs)
             blob = inp.read(min(bs, max(total_size - index * bs, 0)))
             data = np.frombuffer(blob, dtype=np.uint8)
-            crc, payload = compress_block(data, opt, engine)
+            crc, payload, spans = compress_block_ex(data, opt, engine)
             pos0 = out.tell()
             framing.write_block(out, crc, payload, opt.blocksize,
                                 opt.anchor_units, opt.rans_lanes,
-                                opt.lpx_spans)
+                                spans)
             sizes[index] = out.tell() - pos0
     manifest = {"process_id": process_id, "sizes": sizes,
                 "n_blocks": n_blocks}

@@ -25,7 +25,8 @@ from ..stages.lz77 import lz77_decode, lz77_dedupe_encode
 class Options:
     def __init__(self, blocksize=DEFAULT_BLOCKSIZE, match_finder=0, filters=1,
                  threads=1, multiblock=True, anchor_units=120,
-                 ans_chunk=1 << 20, rans_lanes=0, lpx_spans=4):
+                 ans_chunk=1 << 20, rans_lanes=0, lpx_spans=4,
+                 lpx_auto=False):
         self.blocksize = int(min(max(blocksize, MIN_BLOCKSIZE), MAX_BLOCKSIZE))
         # 0..2 = the reference's finders (main.cpp:65-89 semantics);
         # 3 = "store" (framework extension): BOTH LZ stages emit a bare
@@ -45,7 +46,13 @@ class Options:
         # Lpx sub-block count: 4 = reference split (lpx.cpp:150-169);
         # other values switch framing to the JT3 native container.  The
         # span count is the intra-block parallel width of the Lpx model.
+        # 0 = skip the Lpx stage for every block (native container only).
         self.lpx_spans = validate_lpx_spans(lpx_spans)
+        # lpx_auto: measure the Lpx stage's gain per block and write
+        # lpx_spans=0 (stage skipped) into blocks where it earns nothing —
+        # the decoder then skips its dominant serial-walk term.  Opt-in:
+        # default-Options archives stay byte-identical to the reference.
+        self.lpx_auto = bool(lpx_auto)
 
 
 MAX_RANS_LANES = 4096
@@ -62,8 +69,8 @@ def validate_match_finder(mode) -> int:
 
 def validate_lpx_spans(spans) -> int:
     spans = int(spans)
-    if spans < 1 or spans > MAX_LPX_SPANS:
-        raise ValueError(f"lpx_spans {spans} out of range (1..{MAX_LPX_SPANS})")
+    if spans < 0 or spans > MAX_LPX_SPANS:
+        raise ValueError(f"lpx_spans {spans} out of range (0..{MAX_LPX_SPANS})")
     return spans
 
 
@@ -132,8 +139,33 @@ class Engine:
         return ans_decode(data, lanes=lanes)
 
 
-def compress_block(data: np.ndarray, opt: Options, engine=None):
-    """Returns (crc, compressed_payload_bytes)."""
+# Lpx auto-gate threshold: keep the stage only when it zeroes at least this
+# fraction of the block's bytes (zeros feed RLE0 directly, so zeros-gained
+# is the stage's whole downstream win).  Calibrated in round 4 against full
+# both-ways encodes on eight 2 MB corpora (tools/lpx_gate_calib.py):
+# kept corpora gain >= 0.28 zeros-fraction (logs: 2.98x smaller with Lpx
+# on); every gated-off corpus loses NOTHING by skipping — zeros and elf
+# archives actually shrink 6.5% / 0.5% without the stage.  The asymmetric
+# risk (skipping a big win) has margin 28x; the symmetric one (keeping a
+# tiny loss, records at +0.14%) mirrors the reference's always-on choice.
+LPX_AUTO_MIN_ZERO_GAIN = 0.01
+
+
+def _lpx_gain_gate(before: np.ndarray, after: np.ndarray) -> bool:
+    """True when the Lpx stage earns its decode cost on this block."""
+    if before.size == 0:
+        return False
+    gained = int(np.count_nonzero(after == 0)) - int(
+        np.count_nonzero(before == 0))
+    return gained >= before.size * LPX_AUTO_MIN_ZERO_GAIN
+
+
+def compress_block_ex(data: np.ndarray, opt: Options, engine=None):
+    """Returns (crc, compressed_payload_bytes, lpx_spans_used).
+
+    With opt.lpx_auto the Lpx stage is measured on this block and dropped
+    (spans_used = 0) when its zero-gain is below LPX_AUTO_MIN_ZERO_GAIN;
+    the caller must frame the block with the RETURNED span count."""
     eng = engine or Engine()
     data = np.asarray(data, dtype=np.uint8)
     crc = eng.checksum(data)
@@ -142,11 +174,28 @@ def compress_block(data: np.ndarray, opt: Options, engine=None):
     pre = LZ_MODE_STORE if opt.match_finder == LZ_MODE_STORE else 0
     s = eng.lz_encode(data, pre)
     s = eng.filters_encode(s, opt.filters)
-    s = eng.lpx_encode(s, opt.lpx_spans)
+    spans = opt.lpx_spans
+    if spans > 0:
+        t = eng.lpx_encode(s, spans)
+        if opt.lpx_auto and not _lpx_gain_gate(np.asarray(s), np.asarray(t)):
+            spans = 0
+        else:
+            s = t
     s = eng.lz_encode(s, opt.match_finder)
     s = eng.bwt_forward(s, opt.anchor_units)
     payload = eng.ans_encode(s, opt.ans_chunk, opt.rans_lanes)
-    return crc, bytes(payload)
+    return crc, bytes(payload), spans
+
+
+def compress_block(data: np.ndarray, opt: Options, engine=None):
+    """Returns (crc, compressed_payload_bytes).  Callers that frame blocks
+    themselves must use compress_block_ex when opt.lpx_auto is set (the
+    header's span word must match the encoder's per-block choice)."""
+    crc, payload, spans = compress_block_ex(data, opt, engine)
+    if spans != opt.lpx_spans:
+        raise ValueError(
+            "lpx_auto chose a different span count; use compress_block_ex")
+    return crc, payload
 
 
 def decompress_block(payload, crc: int, engine=None,
@@ -160,7 +209,8 @@ def decompress_block(payload, crc: int, engine=None,
                        lanes=lanes)
     s = eng.bwt_inverse(s, units)
     s = eng.lz_decode(s, cap=cap)
-    s = eng.lpx_decode(s, lpx_spans)
+    if lpx_spans > 0:  # 0 = the encoder skipped the stage (framing.py)
+        s = eng.lpx_decode(s, lpx_spans)
     s = eng.filters_decode(s)
     s = eng.lz_decode(s, cap=cap)
     out = np.asarray(s, dtype=np.uint8)
@@ -184,9 +234,9 @@ def compress_stream(inp, out, opt: Options = None, engine=None):
         data = np.frombuffer(block, dtype=np.uint8)
         if len(block) == 0 and not pending_empty:
             break
-        crc, payload = compress_block(data, opt, engine)
+        crc, payload, spans = compress_block_ex(data, opt, engine)
         framing.write_block(out, crc, payload, opt.blocksize,
-                            opt.anchor_units, opt.rans_lanes, opt.lpx_spans)
+                            opt.anchor_units, opt.rans_lanes, spans)
         raw += len(block)
         comp += len(payload) + framing.HEADER_SIZE
         if len(block) == 0:

@@ -195,7 +195,7 @@ def encode_archive_sharded(inp, out, opt, mesh: Mesh = None, engine=None,
     from ..format.constants import ANS_CHUNK_SIZE
     from .device_encode import (encode_block_device, filter_configs,
                                 splice_payload, stage4_len)
-    from .pipeline import Engine, LZ_MODE_STORE, compress_block
+    from .pipeline import Engine, LZ_MODE_STORE, compress_block_ex
 
     if opt.match_finder not in (0, 1, 2, LZ_MODE_STORE) \
             or opt.filters not in (0, 1, 2):
@@ -220,6 +220,9 @@ def encode_archive_sharded(inp, out, opt, mesh: Mesh = None, engine=None,
     dev_min = max(4 * units, 1024)
     payloads = [None] * len(blocks)
     crcs = [0] * len(blocks)
+    # per-block Lpx span word (lpx_auto host paths may gate a block to 0;
+    # device-encoded blocks always use the configured count)
+    spans_used = [int(opt.lpx_spans)] * len(blocks)
     done = [0, 0]  # (raw, comp) bytes with a finished payload
 
     def _tick(i):
@@ -240,8 +243,8 @@ def encode_archive_sharded(inp, out, opt, mesh: Mesh = None, engine=None,
                 crcs[i], payloads[i] = encode_block_device_lz(
                     blk, opt, engine)
             except NotImplementedError:
-                crcs[i], payloads[i] = compress_block(blk, opt,
-                                                      engine or Engine())
+                crcs[i], payloads[i], spans_used[i] = compress_block_ex(
+                    blk, opt, engine or Engine())
             _tick(i)
         by_len = {}
     else:
@@ -253,8 +256,8 @@ def encode_archive_sharded(inp, out, opt, mesh: Mesh = None, engine=None,
             if blk.size >= dev_min:
                 by_len.setdefault(blk.size, []).append(i)
             else:  # tiny tail: host engine, byte-identical by construction
-                crcs[i], payloads[i] = compress_block(blk, opt,
-                                                      engine or Engine())
+                crcs[i], payloads[i], spans_used[i] = compress_block_ex(
+                    blk, opt, engine or Engine())
                 _tick(i)
 
     for n, idxs in by_len.items():
@@ -297,7 +300,7 @@ def encode_archive_sharded(inp, out, opt, mesh: Mesh = None, engine=None,
     raw = comp = 0
     for i, blk in enumerate(blocks):
         framing.write_block(out, crcs[i], payloads[i], opt.blocksize,
-                            opt.anchor_units, opt.rans_lanes, opt.lpx_spans)
+                            opt.anchor_units, opt.rans_lanes, spans_used[i])
         raw += blk.size
         comp += len(payloads[i]) + framing.HEADER_SIZE
     return raw, comp

@@ -159,6 +159,34 @@ def main():
                    (eok[rlens >= 0], rle_ok[olens > 0], rank_ok, ib_ok,
                     lz_ok, f_ok, lz0_ok)])
 
+    # ---- the FUSED chain itself (r3 VERDICT #1): device compute of
+    # decode_block_core in one jit (scalar-slice sync, so no D2H in the
+    # timing), to expose any gap between the fused wall and the stage sum
+    from jampack_tpu.kernels.device_stages import _use_pallas_rans
+    print("fused jit will route rANS via:",
+          "pallas" if _use_pallas_rans() else "xla")
+    ffull = jax.jit(partial(
+        ds.decode_block_core, lanes=lanes, units=units, rmax=rmax,
+        ocap=ocap, out_cap=out_cap, max_tokens=mtok, lpx_spans=spans))
+    fout, fn_, fok, fsup = timeit("FUSED decode_block_core", ffull, pay,
+                                  starts, rlens, olens, crlens, freqs)
+    fgot = np.asarray(fout)[: int(fn_)]
+    print("fused bit-exact:", np.array_equal(fgot, data),
+          "ok:", bool(np.asarray(fok)), "sup:", bool(np.asarray(fsup)))
+
+    # ---- the WRAPPER (what bench.py times): includes host meta parse,
+    # H2D of the packed payload, D2H of the sliced output, CRC
+    from jampack_tpu.runtime.device_decode import decode_block_device
+    back = decode_block_device(payload, crc, n, units, lanes, spans)
+    assert np.array_equal(back, data)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        decode_block_device(payload, crc, n, units, lanes, spans)
+        best = min(best, time.time() - t0)
+    print(f"{'decode_block_device e2e':28s} {best*1e3:9.1f} ms "
+          f"({n/1e9/best:.5f} GB/s)")
+
 
 if __name__ == "__main__":
     main()

@@ -42,11 +42,16 @@ def build(block_elems: int, nblocks: int, interpret: bool):
 
     def kernel(offs_ref, src_ref, out_ref, sem):
         # issue all copies through a 4-deep ring of DMA semaphores so the
-        # engine pipelines; offsets come from SMEM (scalar-prefetched)
+        # engine pipelines; offsets come from SMEM (scalar-prefetched) as
+        # BLOCK indices and are scaled by the static S inside the kernel —
+        # Mosaic must PROVE the dynamic byte offset divisible by the 1024-
+        # element tiling, which idx*S (S % 1024 == 0) satisfies and a raw
+        # dynamic offset does not ("Failed to prove that a tile index in
+        # dimension 0 is divisible by the tiling", measured 2026-08-20)
         def issue(i, _):
             dma = pltpu.make_async_copy(
                 src_ref.at[pl.ds(i * S, S)],
-                out_ref.at[pl.ds(offs_ref[i], S)],
+                out_ref.at[pl.ds(offs_ref[i] * S, S)],
                 sem.at[i % 4],
             )
             dma.start()
@@ -100,13 +105,19 @@ def main():
     import jax.numpy as jnp
 
     rng = np.random.default_rng(0)
-    for S in (256, 1024, 4096, 16384):
+    # S < 1024 is REJECTED by Mosaic on this platform: "Slice shape along
+    # dimension 0 must be aligned to tiling (1024)" (measured 2026-08-20) —
+    # dynamic-offset HBM DMA exists only at >= 1024-element (4 KB) tile
+    # granularity, which on its own rules out radix-R binning with
+    # arbitrary bucket boundaries.  The sizes below measure the descriptor
+    # rate for LEGAL (tile-aligned) copies.
+    for S in (1024, 4096, 16384):
         N = 8 << 20  # 8M elements total, like the 8 MB block's u32 keys
         nblocks = min(N // S, 8192)
         n = S * nblocks
         src = jnp.asarray(np.arange(n, dtype=np.int32))
         perm = rng.permutation(nblocks)
-        offs = jnp.asarray((perm * S).astype(np.int32))
+        offs = jnp.asarray(perm.astype(np.int32))  # block indices (see kernel)
         scatter = build(S, nblocks, interpret)
         out = scatter(src, offs)
         expect = np.empty(n, np.int32)
