@@ -68,8 +68,14 @@ def rle0_decode_core(syms: jnp.ndarray, rlen, olen, out_cap: int):
     shift = jnp.clip(endi - idx, 0, 31)
     contrib = jnp.where(is_bit, v << shift, 0)
     prefix = jnp.cumsum(contrib)  # inclusive
-    # run bit-sum at the start = prefix[end] - prefix[start - 1]
-    pend = prefix[jnp.clip(endi, 0, S - 1)]
+    # run bit-sum at the start = prefix[end] - prefix[start - 1].  The
+    # NEAREST run-end's prefix comes from a reverse cummin instead of a
+    # gather (prefix is a nondecreasing cumsum, so the min over run-ends
+    # at-or-after p IS the nearest one's value): the 16M-element
+    # prefix[endi] gather was 57% of this kernel's wall on chip
+    # (tools/rle0_probe.py, 342 -> 147 ms at the bench shapes)
+    pend = jnp.flip(jax.lax.cummin(
+        jnp.flip(jnp.where(run_end, prefix, jnp.int32(2**31 - 1)))))
     run_len = endi - idx + 1  # valid at run starts
     run_bits = pend - (prefix - contrib)
     overflow = jnp.any(run_start & (run_len > 30))

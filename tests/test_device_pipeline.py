@@ -537,3 +537,43 @@ def test_f1_device_scores_ragged_tail():
         jnp.asarray(np.stack(rows)), jnp.asarray(np.asarray(lens, np.int32)),
         len(rows)))
     assert np.allclose(dev, np.asarray(exact), atol=1e-4), (dev, exact)
+
+
+def test_batched_blocks_decode():
+    """B blocks in one batched device program (decode_blocks_device): the
+    single-chip mirror of the reference's multi-block loop
+    (jampack.cpp:286-328), bit-exact per block with per-block CRC."""
+    from jampack_tpu.runtime.device_decode import decode_blocks_device
+
+    opt = Options(blocksize=1 << 20, filters=1, match_finder=0, rans_lanes=4,
+                  ans_chunk=2048, anchor_units=16, lpx_spans=8)
+    blocks = [_corpus(int(RNG.integers(4000, 12000))) for _ in range(4)]
+    crcs, payloads = [], []
+    for b in blocks:
+        crc, payload = compress_block(b, opt, Engine())
+        crcs.append(crc)
+        payloads.append(payload)
+    outs = decode_blocks_device(payloads, crcs, opt.blocksize,
+                                opt.anchor_units, opt.rans_lanes,
+                                opt.lpx_spans)
+    for got, want in zip(outs, blocks):
+        assert np.array_equal(got, want)
+
+
+def test_batched_blocks_decode_corrupt_names_block():
+    from jampack_tpu.runtime.device_decode import decode_blocks_device
+
+    opt = Options(blocksize=1 << 20, filters=1, match_finder=0, rans_lanes=4,
+                  ans_chunk=2048, anchor_units=16, lpx_spans=8)
+    blocks = [_corpus(6000) for _ in range(3)]
+    crcs, payloads = [], []
+    for b in blocks:
+        crc, payload = compress_block(b, opt, Engine())
+        crcs.append(crc)
+        payloads.append(payload)
+    bad = bytearray(payloads[1])
+    bad[len(bad) // 2] ^= 0x40
+    payloads[1] = bytes(bad)
+    with pytest.raises(ValueError, match="block 1"):
+        decode_blocks_device(payloads, crcs, opt.blocksize,
+                             opt.anchor_units, opt.rans_lanes, opt.lpx_spans)
