@@ -306,9 +306,25 @@ def encode_block_core(data: jnp.ndarray, fconfigs=None, *, n: int,
     # ---- 7. wide model pass (all chains in one lockstep bank loop) +
     # wide lockstep reverse 4-state rANS (vmapping the per-chain form over
     # batched trip counts crashes the TPU worker — rans_encode.py docstring)
-    lows, fqs2, oks = model_pairs_wide(chains, crlens, max_rlen)
+    lows, fqs2, oks = _model_pairs(chains, crlens, max_rlen)
     bufs, ptrs = rans_reverse_encode_wide(lows, fqs2, crlens, max_rlen)
     return bufs, ptrs, oks, freqs, rlens
+
+
+def _model_pairs(chains, crlens, max_rlen):
+    """Route the encode model pass through the Pallas known-symbol kernel
+    (rans_pallas.model_pairs_wide_pallas) on the TPU backend — the encode
+    mirror of device_stages._use_pallas_rans, same JAMPACK_RANS_PALLAS
+    override; CPU tests keep exercising the XLA kernel and interpret-mode
+    tests cover the Pallas one."""
+    from .device_stages import _use_pallas_rans
+    from .rans_wide import model_pairs_wide
+
+    if _use_pallas_rans():
+        from .rans_pallas import model_pairs_wide_pallas
+
+        return model_pairs_wide_pallas(chains, crlens, max_rlen)
+    return model_pairs_wide(chains, crlens, max_rlen)
 
 
 # ---------------------------------------------------------------------------
@@ -323,7 +339,6 @@ def _entropy_dyn(s4, n4, *, chunk: int, lanes: int):
     """Stage 6+7 with traced n4: rank -> RLE0 -> lane deal -> wide model
     pass -> reverse rANS.  s4: (cap4,) u8 zero-padded past n4."""
     from .rans_encode import rans_reverse_encode_wide
-    from .rans_wide import model_pairs_wide
 
     cap4 = s4.shape[0]
     C = _ceil_div(cap4, chunk)
@@ -343,7 +358,7 @@ def _entropy_dyn(s4, n4, *, chunk: int, lanes: int):
     crlens = ((rlens[:, None] - lane_ids + eff - 1) // eff).reshape(-1)
     crlens = jnp.maximum(crlens, 0)
 
-    lows, fqs2, oks = model_pairs_wide(chains, crlens, max_rlen)
+    lows, fqs2, oks = _model_pairs(chains, crlens, max_rlen)
     bufs, ptrs = rans_reverse_encode_wide(lows, fqs2, crlens, max_rlen)
     return bufs, ptrs, oks, freqs, rlens
 

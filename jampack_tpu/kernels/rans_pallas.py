@@ -80,6 +80,8 @@ _ROWC[:, 0] = _SEG_START.astype(np.int32)   # bank-space segment start
 _ROWC[:, 1] = _SEG_ID                        # bank-space model id (0..8)
 _ROWC[:, 2] = _qrow_model                    # Q-space model id (0..5, 7=pad)
 _ROWC[:, 3] = _qrow_within                   # Q-space symbol index
+_ROWC[:, 4] = (np.arange(_BCOLS) - _BOFF[_SEG_ID]).astype(np.int32)
+#                                            # bank-space within-segment idx
 
 # (16, 256) bank-space per-model segment indicators (rows 9..15 zero)
 _SEGBT = np.zeros((16, _BCOLS), np.float32)
@@ -161,6 +163,100 @@ def _seg_dot(mat, lo_p, hi_p):
         mat, hi_p, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     return s_lo.astype(jnp.int32) + (s_hi.astype(jnp.int32) << 8)
+
+
+def _model_update(bank, qf, qse, active, e, m, ei, qi, is_adaptive,
+                  rowmodel_b, rowmodel_q, rowwithin_q, segqt, cumt, mixb):
+    """The model-side state updates shared VERBATIM by the decode step and
+    the encode (known-symbol) pairs step: adaptive CDF mixing on bank rows
+    0..8, quasi count/seen bumps, and the masked quasi rescale.  Pure
+    function of loaded values; both kernels call it after computing
+    (e, m) their own way.  Returns (bank, qf, qse)."""
+    # ---- adaptive CDF mixing on bank rows 0..8 (int32, >> RATE).
+    # (256, Lb) exp mix target via two exact MXU ops: MIXB (256, 8) planes
+    # contracted with the e one-hot (8, Lb)
+    ohe_b = (jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+             == e).astype(jnp.bfloat16)
+    mxlo, mxhi = _bplanes(mixb)                     # (256, 8) planes
+    mix_e = (jax.lax.dot_general(
+        mxlo, ohe_b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+        + (jax.lax.dot_general(
+            mxhi, ohe_b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32) << 8))
+
+    # adaptive-mantissa scalar target (rows 7, 8), 4-way select
+    m01 = jnp.clip(m, 0, 1)
+    mix_a = jnp.full_like(e, _MA_MIX[0][0])
+    for ii in range(2):
+        for jj in range(2):
+            if ii == 0 and jj == 0:
+                continue
+            mix_a = jnp.where((ei == ii) & (m01 == jj), _MA_MIX[ii][jj],
+                              mix_a)
+    mix_full = jnp.where(rowmodel_b == 0, mix_e, mix_a)
+    upd = bank + ((mix_full - bank) >> RATE)
+    upd_mask = active & ((rowmodel_b == 0)
+                         | (is_adaptive & (rowmodel_b == 1 + ei)))
+    bank = jnp.where(upd_mask, upd, bank)
+
+    # ---- quasi count/seen updates (known symbol index in Q space)
+    q_upd = active & jnp.logical_not(is_adaptive)
+    oh_cnt = (rowmodel_q == qi) & (rowwithin_q == m) & q_upd
+    qf = qf + jnp.where(oh_cnt, jnp.int32(PROB_BITS), 0)
+    rowq16 = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+    q_hit = (rowq16 == qi) & q_upd            # rows 0..5
+    e_hit = (rowq16 == qi + 8) & q_upd        # rows 8..13
+    qse = qse + jnp.where(q_hit, 1, 0)
+    seen_row = jnp.sum(jnp.where(q_hit, qse, 0), axis=0, keepdims=True)
+    exp_row = jnp.sum(jnp.where(e_hit, qse, 0), axis=0, keepdims=True)
+
+    # ---- quasi rescale, masked-applied (see module docstring)
+    pred = q_upd & (seen_row > exp_row)
+    # total freq mass = PROB_BITS * seen count (qf only ever grows by
+    # PROB_BITS per quasi symbol and zeroes on rescale)
+    total = seen_row << 4
+    assert PROB_BITS == 16
+    alpha = jnp.full_like(e, _QALPHA_L[0])
+    for k in range(1, NQ):
+        alpha = jnp.where(qi == k, _QALPHA_L[k], alpha)
+    logv = jnp.zeros_like(e)
+    for _ in range(21):  # smallest log with (total>>log)+alpha <= 2^16
+        logv = logv + (((total >> logv) + alpha) > PROB_SCALE)
+    fsh = qf >> logv                                # (256, Lb)
+    flo, fhi = _bplanes(fsh)
+    t2_all = _seg_dot(segqt, flo, fhi)              # (16, Lb) sums of fsh
+    t2 = jnp.sum(jnp.where(rowq16 == qi, t2_all, 0), axis=0,
+                 keepdims=True) + alpha
+    q = _div_fix16(fsh + 1, t2)                     # (256, Lb)
+    # active-lane bounds (hold for ANY stream, valid or garbage, because
+    # t2 is the segment sum of the f's): q_j <= 2^16 since f_j <= t2;
+    # sum(q) <= 2^16 (floors only lose mass) so 0 <= fix <= alpha <= 129
+    # and q0 + fix <= 65665 — every byte plane below is exact in bf16.
+    # The clips only tame garbage rows of NON-rescaling lanes (masked).
+    qsum_all = _seg_dot(segqt, *_bplanes(jnp.clip(q, 0, 65536)))
+    qsum = jnp.sum(jnp.where(rowq16 == qi, qsum_all, 0), axis=0,
+                   keepdims=True)
+    fix = PROB_SCALE - qsum
+    q = jnp.where(rowwithin_q == 0, q + fix, q)
+    qlo, qhi = _bplanes(jnp.clip(q, 0, 65536 + 129))
+    cum = (jax.lax.dot_general(
+        cumt, qlo, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+        + (jax.lax.dot_general(
+            cumt, qhi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32) << 8))
+    cum = cum & jnp.int32(0xFFFF)  # uint16 store parity (wrap-regime)
+    resc_bank_rows = pred & (rowmodel_b == 3 + qi)  # (256, Lb)
+    bank = jnp.where(resc_bank_rows, cum, bank)
+    resc_q_rows = pred & (rowmodel_q == qi)
+    qf = jnp.where(resc_q_rows, 0, qf)
+    resc_seen = q_hit & pred
+    resc_exp = e_hit & pred
+    qse = jnp.where(resc_seen, 0, qse)
+    new_exp = jnp.minimum(qse << 1, UPDATE_RATE)
+    qse = jnp.where(resc_exp, new_exp, qse)
+    return bank, qf, qse
 
 
 def _rans_step_kernel(i_ref, bank_ref, qf_ref, qse_ref, regs_ref, wb_ref,
@@ -266,90 +362,11 @@ def _rans_step_kernel(i_ref, bank_ref, qf_ref, qse_ref, regs_ref, wb_ref,
     x2 = jnp.where(active, x2, r0n)
     r0n, r1n, r2n, r3n = r1n, r2n, r3n, x2
 
-    # ---- adaptive CDF mixing on bank rows 0..8 (int32, >> RATE).
-    # (256, Lb) exp mix target via two exact MXU ops: MIXB (256, 8) planes
-    # contracted with the e one-hot (8, Lb)
-    ohe_b = (jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
-             == e).astype(jnp.bfloat16)
-    mxlo, mxhi = _bplanes(mixb_ref[...])            # (256, 8) planes
-    mix_e = (jax.lax.dot_general(
-        mxlo, ohe_b, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(jnp.int32)
-        + (jax.lax.dot_general(
-            mxhi, ohe_b, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(jnp.int32) << 8))
-
-    # adaptive-mantissa scalar target (rows 7, 8), 4-way select
-    m01 = jnp.clip(m, 0, 1)
-    mix_a = jnp.full_like(e, _MA_MIX[0][0])
-    for ii in range(2):
-        for jj in range(2):
-            if ii == 0 and jj == 0:
-                continue
-            mix_a = jnp.where((ei == ii) & (m01 == jj), _MA_MIX[ii][jj],
-                              mix_a)
-    mix_full = jnp.where(rowmodel_b == 0, mix_e, mix_a)
-    upd = bank + ((mix_full - bank) >> RATE)
-    upd_mask = active & ((rowmodel_b == 0)
-                         | (is_adaptive & (rowmodel_b == 1 + ei)))
-    bank = jnp.where(upd_mask, upd, bank)
-
-    # ---- quasi count/seen updates (known symbol index in Q space)
-    q_upd = active & jnp.logical_not(is_adaptive)
-    oh_cnt = (rowmodel_q == qi) & (rowwithin_q == m) & q_upd
-    qf = qf + jnp.where(oh_cnt, jnp.int32(PROB_BITS), 0)
-    rowq16 = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
-    q_hit = (rowq16 == qi) & q_upd            # rows 0..5
-    e_hit = (rowq16 == qi + 8) & q_upd        # rows 8..13
-    qse = qse + jnp.where(q_hit, 1, 0)
-    seen_row = jnp.sum(jnp.where(q_hit, qse, 0), axis=0, keepdims=True)
-    exp_row = jnp.sum(jnp.where(e_hit, qse, 0), axis=0, keepdims=True)
-
-    # ---- quasi rescale, masked-applied (see module docstring)
-    pred = q_upd & (seen_row > exp_row)
-    # total freq mass = PROB_BITS * seen count (qf only ever grows by
-    # PROB_BITS per quasi symbol and zeroes on rescale)
-    total = seen_row << 4
-    assert PROB_BITS == 16
-    alpha = jnp.full_like(e, _QALPHA_L[0])
-    for k in range(1, NQ):
-        alpha = jnp.where(qi == k, _QALPHA_L[k], alpha)
-    logv = jnp.zeros_like(e)
-    for _ in range(21):  # smallest log with (total>>log)+alpha <= 2^16
-        logv = logv + (((total >> logv) + alpha) > PROB_SCALE)
-    fsh = qf >> logv                                # (256, Lb)
-    flo, fhi = _bplanes(fsh)
-    t2_all = _seg_dot(segqt_ref[...], flo, fhi)     # (16, Lb) sums of fsh
-    t2 = jnp.sum(jnp.where(rowq16 == qi, t2_all, 0), axis=0,
-                 keepdims=True) + alpha
-    q = _div_fix16(fsh + 1, t2)                     # (256, Lb)
-    # active-lane bounds (hold for ANY stream, valid or garbage, because
-    # t2 is the segment sum of the f's): q_j <= 2^16 since f_j <= t2;
-    # sum(q) <= 2^16 (floors only lose mass) so 0 <= fix <= alpha <= 129
-    # and q0 + fix <= 65665 — every byte plane below is exact in bf16.
-    # The clips only tame garbage rows of NON-rescaling lanes (masked).
-    qsum_all = _seg_dot(segqt_ref[...], *_bplanes(jnp.clip(q, 0, 65536)))
-    qsum = jnp.sum(jnp.where(rowq16 == qi, qsum_all, 0), axis=0,
-                   keepdims=True)
-    fix = PROB_SCALE - qsum
-    q = jnp.where(rowwithin_q == 0, q + fix, q)
-    qlo, qhi = _bplanes(jnp.clip(q, 0, 65536 + 129))
-    cum = (jax.lax.dot_general(
-        cumt_ref[...], qlo, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(jnp.int32)
-        + (jax.lax.dot_general(
-            cumt_ref[...], qhi, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(jnp.int32) << 8))
-    cum = cum & jnp.int32(0xFFFF)  # uint16 store parity (wrap-regime)
-    resc_bank_rows = pred & (rowmodel_b == 3 + qi)  # (256, Lb)
-    bank = jnp.where(resc_bank_rows, cum, bank)
-    resc_q_rows = pred & (rowmodel_q == qi)
-    qf = jnp.where(resc_q_rows, 0, qf)
-    resc_seen = q_hit & pred
-    resc_exp = e_hit & pred
-    qse = jnp.where(resc_seen, 0, qse)
-    new_exp = jnp.minimum(qse << 1, UPDATE_RATE)
-    qse = jnp.where(resc_exp, new_exp, qse)
+    # ---- model-side updates (shared with the encode pairs kernel)
+    bank, qf, qse = _model_update(
+        bank, qf, qse, active, e, m, ei, qi, is_adaptive,
+        rowmodel_b, rowmodel_q, rowwithin_q, segqt_ref[...], cumt_ref[...],
+        mixb_ref[...])
 
     # ---- emit
     base = jnp.zeros_like(e)
@@ -498,3 +515,187 @@ def decode_lanes_wide_pallas(buf: jnp.ndarray, starts: jnp.ndarray,
     flush = jnp.int32(RANS_BYTE_L)
     ok = jnp.all(regs[0:4, :L] == flush, axis=0) | (rlens < 0)
     return syms, ok
+
+
+# ---------------------------------------------------------------------------
+# Encode-side model pass (VERDICT r3 #6): the known-symbol mirror of the
+# decode step.  Same bank/segment machinery, no range search and no rANS
+# state — per step it reads the symbol column, forms the exp/mantissa
+# (low, freq) pairs from lt/one-hot masks over the SAME (256, Lb) bank,
+# then runs _model_update verbatim.  Reference: ans.cpp:152-187.
+
+
+def _model_pairs_kernel(i_ref, sym_ref, bank_ref, qf_ref, qse_ref, ok_ref,
+                        rlens_ref, rowc_ref, segbt_ref, segqt_ref, cumt_ref,
+                        mixb_ref, bank_out, qf_out, qse_out, ok_out, lo_out,
+                        fq_out):
+    i = i_ref[0, 0]
+    bank = bank_ref[...]                     # (256, Lb) i32 interior cums
+    qf = qf_ref[...]
+    qse = qse_ref[...]
+    ok = ok_ref[...]                         # (1, Lb) i32 0/1
+    rlens = rlens_ref[...]
+    active = i < rlens
+    sym = sym_ref[...]                       # (1, Lb) i32
+
+    seg_start = rowc_ref[:, 0:1] != 0
+    rowmodel_b = rowc_ref[:, 1:2]
+    rowmodel_q = rowc_ref[:, 2:3]
+    rowwithin_q = rowc_ref[:, 3:4]
+    rowwithin_b = rowc_ref[:, 4:5]
+
+    # exponent class via the 7 boundary compares; m = sym - base
+    e = jnp.zeros_like(sym)
+    for b in _EXP_BASE[1:]:
+        e = e + jnp.where(sym >= b, 1, 0)
+    base = jnp.zeros_like(sym)
+    for kk in range(1, 8):
+        base = jnp.where(e == kk, _EXP_BASE[kk], base)
+    m = sym - base
+    is_adaptive = e < _NSW
+    ei = jnp.clip(e, 0, _NSW - 1)
+    qi = jnp.clip(e - _NSW, 0, NQ - 1)
+    midx = jnp.where(is_adaptive, 1 + ei, 3 + qi)   # (1, Lb) in 1..8
+
+    # both ops' (low, freq) from two known-index masks over the bank: the
+    # exp op lives in segment 0 (sel = e) and the mantissa op in segment
+    # midx (sel = m); _seg_dot gives every model's sum, rows select
+    sel = jnp.where(rowmodel_b == 0, e, m)          # (256, Lb) broadcast
+    lt = rowwithin_b < sel
+    oh = rowwithin_b == sel
+    bsh = pltpu.roll(bank, 1, axis=0)
+    d = (bank - jnp.where(seg_start, 0, bsh)) & jnp.int32(0xFFFF)
+    dlo, dhi = _bplanes(d)
+    zb = jnp.bfloat16(0)
+    lo_all = _seg_dot(segbt_ref[...], jnp.where(lt, dlo, zb),
+                      jnp.where(lt, dhi, zb))       # (16, Lb)
+    fqp_all = _seg_dot(segbt_ref[...], jnp.where(oh, dlo, zb),
+                       jnp.where(oh, dhi, zb))
+    lo_e = lo_all[0:1, :]
+    fqp_e = fqp_all[0:1, :]
+    lo_m = lo_all[1:2, :]
+    fqp_m = fqp_all[1:2, :]
+    for k in range(2, 9):
+        selk = midx == k
+        lo_m = jnp.where(selk, lo_all[k:k + 1, :], lo_m)
+        fqp_m = jnp.where(selk, fqp_all[k:k + 1, :], fqp_m)
+    alpha_m = jnp.full_like(sym, _ALPHAS[1])
+    for k in range(2, 9):
+        alpha_m = jnp.where(midx == k, _ALPHAS[k], alpha_m)
+    last_e = e == 7
+    last_m = m == alpha_m - 1
+    fq_e = jnp.where(last_e, PROB_SCALE - lo_e, fqp_e)
+    fq_m = jnp.where(last_m, PROB_SCALE - lo_m, fqp_m)
+    good = (((last_e | (fqp_e > 0)) & (last_m | (fqp_m > 0)))
+            | jnp.logical_not(active))
+    ok = jnp.where(good, ok, 0)
+
+    bank, qf, qse = _model_update(
+        bank, qf, qse, active, e, m, ei, qi, is_adaptive,
+        rowmodel_b, rowmodel_q, rowwithin_q, segqt_ref[...], cumt_ref[...],
+        mixb_ref[...])
+
+    bank_out[...] = bank
+    qf_out[...] = qf
+    qse_out[...] = qse
+    ok_out[...] = ok
+    lo_out[0:1, :] = lo_e
+    lo_out[1:2, :] = lo_m
+    fq_out[0:1, :] = fq_e
+    fq_out[1:2, :] = fq_m
+
+
+def _pairs_call(LB: int, Lp: int, interpret: bool):
+    grid = (Lp // LB,)
+
+    def lane_block(b):
+        return (0, b)
+
+    def const_block(b):
+        return (0, 0)
+
+    vspec = lambda rows: pl.BlockSpec((rows, LB), lane_block,
+                                      memory_space=pltpu.VMEM)
+    cspec = lambda shape: pl.BlockSpec(shape, const_block,
+                                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _model_pairs_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), const_block, memory_space=pltpu.SMEM),
+            vspec(1),              # sym column
+            vspec(256),            # bank
+            vspec(256),            # qf
+            vspec(16),             # qse
+            vspec(1),              # ok
+            vspec(1),              # rlens
+            cspec((256, 8)),       # ROWC
+            cspec((16, 256)),      # SEGBT
+            cspec((16, 256)),      # SEGQT
+            cspec((256, 256)),     # CUMT
+            cspec((256, 8)),       # MIXB
+        ],
+        out_specs=[
+            vspec(256), vspec(256), vspec(16), vspec(1), vspec(2), vspec(2),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((256, Lp), jnp.int32),
+            jax.ShapeDtypeStruct((256, Lp), jnp.int32),
+            jax.ShapeDtypeStruct((16, Lp), jnp.int32),
+            jax.ShapeDtypeStruct((1, Lp), jnp.int32),
+            jax.ShapeDtypeStruct((2, Lp), jnp.int32),
+            jax.ShapeDtypeStruct((2, Lp), jnp.int32),
+        ],
+        interpret=interpret,
+    )
+
+
+@partial(jax.jit, static_argnames=("max_rlen", "interpret"))
+def model_pairs_wide_pallas(chains: jnp.ndarray, rlens: jnp.ndarray,
+                            max_rlen: int, interpret: bool = False):
+    """Drop-in for rans_wide.model_pairs_wide with the step body in one
+    Pallas program.  chains: (L, max_rlen) uint16; rlens (L,).
+    Returns (lows (L, 2*max_rlen) u16, fqs (L, 2*max_rlen) u16, ok (L,))."""
+    L = chains.shape[0]
+    Lp = max(128, -(-L // 128) * 128)
+    LB = _pick_lb(Lp)
+    pad = Lp - L
+
+    chains_t = jnp.pad(chains, ((0, pad), (0, 0))).astype(jnp.int32).T
+    rlens_p = jnp.pad(rlens, (0, pad), constant_values=0)
+    rl2 = rlens_p[None, :].astype(jnp.int32)
+
+    bank = jnp.broadcast_to(
+        jnp.asarray(_BANK_INIT.astype(np.int32))[:, None], (256, Lp))
+    qf = jnp.zeros((256, Lp), jnp.int32)
+    qse = jnp.zeros((16, Lp), jnp.int32)
+    qse = qse.at[8:14, :].set(8)  # exp thresholds start at 8
+    ok = jnp.ones((1, Lp), jnp.int32)
+    lows_t = jnp.zeros((2 * max_rlen, Lp), jnp.uint16)
+    fqs_t = jnp.zeros((2 * max_rlen, Lp), jnp.uint16)
+
+    rowc = jnp.asarray(_ROWC)
+    segbt = jnp.asarray(_SEGBT, jnp.bfloat16)
+    segqt = jnp.asarray(_SEGQT, jnp.bfloat16)
+    cumt = jnp.asarray(_CUMT, jnp.bfloat16)
+    mixb = jnp.asarray(_MIXB)
+
+    step = _pairs_call(LB, Lp, interpret)
+
+    def body(i, carry):
+        bank, qf, qse, ok, lows_t, fqs_t = carry
+        sym = jax.lax.dynamic_slice(chains_t, (i, 0), (1, Lp))
+        i2 = jnp.full((1, 1), i, jnp.int32)
+        bank, qf, qse, ok, lo, fq = step(
+            i2, sym, bank, qf, qse, ok, rl2, rowc, segbt, segqt, cumt,
+            mixb)
+        lows_t = jax.lax.dynamic_update_slice(
+            lows_t, lo.astype(jnp.uint16), (2 * i, 0))
+        fqs_t = jax.lax.dynamic_update_slice(
+            fqs_t, fq.astype(jnp.uint16), (2 * i, 0))
+        return bank, qf, qse, ok, lows_t, fqs_t
+
+    steps = jnp.minimum(jnp.maximum(jnp.max(rlens), 0), max_rlen)
+    bank, qf, qse, ok, lows_t, fqs_t = jax.lax.fori_loop(
+        0, steps, body, (bank, qf, qse, ok, lows_t, fqs_t))
+    return (lows_t[:, :L].T, fqs_t[:, :L].T, ok[0, :L] != 0)

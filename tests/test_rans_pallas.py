@@ -126,3 +126,63 @@ def test_pallas_decode_empty_and_tiny_lanes():
     mr = max(1 << int(max(np.max(rlens), 1) - 1).bit_length(), 2)
     (a, aok), (b, bok) = _both(buf, starts, rlens, mr)
     assert np.array_equal(aok, bok) and np.array_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Encode pairs kernel (round 4): known-symbol model pass parity
+
+
+def _pairs_case(L, max_rlen, seed, hi=250):
+    rng = np.random.default_rng(seed)
+    chains = np.zeros((L, max_rlen), np.uint16)
+    rlens = rng.integers(0, max_rlen + 1, L).astype(np.int32)
+    for l in range(L):
+        # rank-decode-like symbol stream: zero-heavy RLE0 output values
+        v = rng.integers(0, hi, rlens[l])
+        v = np.where(rng.random(rlens[l]) < 0.5, rng.integers(0, 3, rlens[l]),
+                     v)
+        chains[l, :rlens[l]] = v
+    return chains, rlens
+
+
+@pytest.mark.parametrize("L,mr,seed", [(4, 64, 0), (8, 200, 1), (16, 96, 2)])
+def test_pallas_pairs_matches_wide(L, mr, seed):
+    from jampack_tpu.kernels.rans_pallas import model_pairs_wide_pallas
+    from jampack_tpu.kernels.rans_wide import model_pairs_wide
+
+    chains, rlens = _pairs_case(L, mr, seed)
+    a_lo, a_fq, a_ok = model_pairs_wide(
+        jnp.asarray(chains), jnp.asarray(rlens), mr)
+    b_lo, b_fq, b_ok = model_pairs_wide_pallas(
+        jnp.asarray(chains), jnp.asarray(rlens), mr, interpret=True)
+    assert np.array_equal(np.asarray(a_ok), np.asarray(b_ok))
+    # compare only the live pair slots (padding lanes/steps carry garbage
+    # in both kernels but are masked by rlens downstream)
+    for l in range(L):
+        k = 2 * int(rlens[l])
+        assert np.array_equal(np.asarray(a_lo)[l, :k],
+                              np.asarray(b_lo)[l, :k]), l
+        assert np.array_equal(np.asarray(a_fq)[l, :k],
+                              np.asarray(b_fq)[l, :k]), l
+
+
+def test_pallas_pairs_wrap_regime_failure_parity():
+    """A chains stream engineered into the zero-frequency regime must
+    report ok=False in BOTH kernels."""
+    from jampack_tpu.kernels.rans_pallas import model_pairs_wide_pallas
+    from jampack_tpu.kernels.rans_wide import model_pairs_wide
+
+    L, mr = 4, 512
+    rng = np.random.default_rng(3)
+    chains = np.zeros((L, mr), np.uint16)
+    # hammer one rare quasi symbol so the adaptive mass collapses elsewhere
+    chains[:, :] = rng.integers(16000, 16200, (L, mr))
+    rlens = np.full(L, mr, np.int32)
+    a_lo, a_fq, a_ok = model_pairs_wide(
+        jnp.asarray(chains), jnp.asarray(rlens), mr)
+    b_lo, b_fq, b_ok = model_pairs_wide_pallas(
+        jnp.asarray(chains), jnp.asarray(rlens), mr, interpret=True)
+    assert np.array_equal(np.asarray(a_ok), np.asarray(b_ok))
+    for l in range(L):
+        assert np.array_equal(np.asarray(a_lo)[l], np.asarray(b_lo)[l]), l
+        assert np.array_equal(np.asarray(a_fq)[l], np.asarray(b_fq)[l]), l
