@@ -133,6 +133,60 @@ def main():
         print(f"  {name}: enc={cases.get(f'enc:{name}')} "
               f"dec={cases.get(f'dec:{name}')}", file=sys.stderr, flush=True)
 
+    # ---- round-4 widening (VERDICT r3 #8), on the text corpus:
+    # (a) default-Options JAM streams (lanes=0, units=120, spans=4, m0+f1)
+    #     through BOTH fused paths — the ref-compat corner (jampack.cpp:
+    #     30-58 default path) the CPU suite can't vouch for on hardware,
+    # (b) one -f2 fused encode,
+    # (c) a device-encode -> device-decode composition.
+    from jampack_tpu.runtime.device_encode import encode_block_device_lz
+
+    data = textlike((1 << 20) if quick else (4 << 20), seed=11)
+    n = int(data.size)
+    total_mb += 3 * n / 1e6
+
+    jam = Options(blocksize=n, match_finder=0, filters=1)  # pure defaults
+    try:
+        t0 = time.time()
+        crc_e, pay_e = encode_block_device_lz(data, jam, ne)
+        dt = time.time() - t0
+        ok = (crc_e, pay_e) == compress_block(data, jam, ne)
+        cases["enc:jam_default"] = round(n / 1e6 / dt, 2) if ok else "FAIL"
+        ok_all &= ok
+        t0 = time.time()
+        back = decode_block_device(pay_e, crc_e, n, jam.anchor_units,
+                                   jam.rans_lanes, jam.lpx_spans)
+        dt = time.time() - t0
+        ok = np.array_equal(back, data)
+        cases["dec:jam_default"] = round(n / 1e6 / dt, 2) if ok else "FAIL"
+        ok_all &= ok
+    except Exception as e:  # noqa: BLE001
+        cases["enc:jam_default"] = f"error: {e}"
+        ok_all = False
+
+    f2opt = Options(blocksize=n, match_finder=3, filters=2, rans_lanes=16,
+                    ans_chunk=8 << 10, anchor_units=960, lpx_spans=4096)
+    try:
+        t0 = time.time()
+        crc_e, pay_e = encode_block_device(data, f2opt)
+        dt = time.time() - t0
+        ok = (crc_e, pay_e) == compress_block(data, f2opt, ne)
+        cases["enc:f2"] = round(n / 1e6 / dt, 2) if ok else "FAIL"
+        ok_all &= ok
+        # (c) composition: decode the device-encoded stream on device
+        back = decode_block_device(pay_e, crc_e, n, f2opt.anchor_units,
+                                   f2opt.rans_lanes, f2opt.lpx_spans)
+        ok = np.array_equal(back, data)
+        cases["dec:of_device_enc"] = "ok" if ok else "FAIL"
+        ok_all &= ok
+    except Exception as e:  # noqa: BLE001
+        cases["enc:f2"] = f"error: {e}"
+        ok_all = False
+    print(f"  widened: jam_default enc={cases.get('enc:jam_default')} "
+          f"dec={cases.get('dec:jam_default')} f2={cases.get('enc:f2')} "
+          f"compose={cases.get('dec:of_device_enc')}",
+          file=sys.stderr, flush=True)
+
     wd.cancel()
     print(json.dumps({"pass": bool(ok_all), "mb": round(total_mb, 1),
                       "wall_s": round(time.time() - t_all, 1),
