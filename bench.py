@@ -75,7 +75,7 @@ def main():
     import jax.numpy as jnp
 
     from jampack_tpu.kernels.ibwt import chase_combined_core, combined_map_core
-    from jampack_tpu.kernels.sa import bwt_from_prev_sorted, sa_doubling_core
+    from jampack_tpu.kernels.sa import sa_doubling_anchors_core
 
     mb = 8
     n = (mb << 20) - ((mb << 20) % (120 * 16))
@@ -83,14 +83,12 @@ def main():
     td = jax.device_put(jnp.asarray(data))
 
     def make_fns(units):
-        step = n // units
-
-        # both directions fuse profitably now that emission is gather-free
+        # both directions fuse profitably now that emission is gather-free;
+        # r4: anchors come from `order` directly (drop-scatter + argmin),
+        # no final position-space ISA sort (kernels/sa.py)
         @jax.jit
         def forward(t):
-            sa, isa, prev_sorted = sa_doubling_core(t, n)
-            bwt = bwt_from_prev_sorted(prev_sorted, isa[0], n)
-            return bwt, isa[: units * step : step] + 1
+            return sa_doubling_anchors_core(t, n, units)
 
         @jax.jit
         def inverse(bwt, anchors):

@@ -410,17 +410,15 @@ def encode_back_core(s3: jnp.ndarray, n3, *, units: int, chunk: int,
     buffer.  s3: (cap3,) u8 zero-padded past n3.  Returns the same
     (bufs, ptrs, oks, freqs, rlens) layout as encode_block_core with
     capacity-sized leading dims; callers slice the live chunks."""
-    from .sa import bwt_from_prev_sorted, sa_doubling_dyn_core
+    from .sa import sa_doubling_dyn_anchors_core
 
     cap3 = s3.shape[0]
     pos = jnp.arange(cap3 + 4 * units, dtype=jnp.int32)
     rem = n3 % units
     nlen = n3 - rem
-    order, isa, prev_sorted = sa_doubling_dyn_core(s3, nlen)
-    bwt = bwt_from_prev_sorted(prev_sorted, isa[0], cap3)
-    step = nlen // units
-    u = jnp.arange(units, dtype=jnp.int32)
-    anchors = isa[jnp.clip(u * step, 0, cap3 - 1)] + 1
+    # anchors from `order` directly — no final position-space ISA sort
+    # (kernels/sa.py round-4 restructure)
+    bwt, anchors, _ = sa_doubling_dyn_anchors_core(s3, nlen, units)
     abytes = ((anchors[:, None] >> jnp.asarray([0, 8, 16, 24])[None, :])
               & 0xFF).astype(jnp.uint8).reshape(-1)
     s4 = jnp.where(pos[:cap3] < nlen, bwt, s3)

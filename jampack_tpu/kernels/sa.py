@@ -35,7 +35,16 @@ def _pack4(t32: jnp.ndarray, off: int, n: int) -> jnp.ndarray:
 _INIT_WORDS = 3  # initial sort covers k0 = 12 bytes (measured sweet spot)
 
 
-def sa_doubling_core(t: jnp.ndarray, n: int):
+def _sa_doubling_sorted(t: jnp.ndarray, n: int):
+    """Prefix doubling with the per-round ISA sort hoisted to the ROUND
+    START: the loop carries the rank in SORTED space, so no position-space
+    ISA is ever built after the final round (round-4 restructure — the
+    trailing 1-key+payload lax.sort existed only to slice out isa[0] and
+    the anchor grid, both extractable from `order` directly: argmin is
+    ~3 ms and the tiny-table drop scatter ~7 ms vs ~40 ms for the sort,
+    tools/anchor_probe.py).  Per-round sort count is unchanged (2).
+
+    Returns (order, rank_sorted, prev_sorted)."""
     # Initial rank: exact order of the min(k0, remaining)-byte prefix, built
     # from one multi-key sort — k0/4 packed 4-byte words plus
     # min(remaining, k0) as the tiebreak.  Zero-padding past the end can
@@ -66,11 +75,13 @@ def sa_doubling_core(t: jnp.ndarray, n: int):
         [jnp.ones(1, dtype=jnp.int32), neq.astype(jnp.int32)]
     )
     init_rank = jnp.cumsum(boundaries) - 1
-    # ISA build: sorting by the permutation key beats a scatter ~2x on TPU
-    _, rank = jax.lax.sort((order, init_rank), num_keys=1, is_stable=False)
     init_done = init_rank[-1] == n - 1
 
-    def round_fn(k, rank, order):
+    def round_fn(k, rank_sorted, order):
+        # ISA build at round start: sorting by the permutation key beats a
+        # scatter ~2x on TPU (CLAUDE.md walls)
+        _, rank = jax.lax.sort((order, rank_sorted), num_keys=1,
+                               is_stable=False)
         # per-position keys: (rank[i], rank[i+k] or -1); two-key lexicographic
         # lax.sort avoids any packed-key overflow at 8M+ scale.  rank[i+k]
         # is a CONTIGUOUS dynamic_slice, not a gather — shift-of-iota
@@ -91,42 +102,76 @@ def sa_doubling_core(t: jnp.ndarray, n: int):
             ]
         )
         new_rank = jnp.cumsum(boundaries) - 1
-        _, rank = jax.lax.sort((order, new_rank), num_keys=1, is_stable=False)
-        return rank, order, prev_sorted, new_rank[-1] == n - 1
+        return new_rank, order, prev_sorted, new_rank[-1] == n - 1
 
     def cond(carry):
         _, _, _, done, k = carry
         return jnp.logical_and(jnp.logical_not(done), k < 2 * n)
 
     def body(carry):
-        rank, order, prev_sorted, _, k = carry
-        rank, order, prev_sorted, done = round_fn(k, rank, order)
-        return rank, order, prev_sorted, done, k * 2
+        rank_sorted, order, prev_sorted, _, k = carry
+        rank_sorted, order, prev_sorted, done = round_fn(k, rank_sorted,
+                                                         order)
+        return rank_sorted, order, prev_sorted, done, k * 2
 
-    rank, order, prev_sorted, done, _ = jax.lax.while_loop(
+    rank_sorted, order, prev_sorted, done, _ = jax.lax.while_loop(
         cond, body,
-        (rank, order, prev_sorted, init_done, jnp.array(k0, dtype=jnp.int32)),
+        (init_rank, order, prev_sorted, init_done,
+         jnp.array(k0, dtype=jnp.int32)),
     )
-    # rank is the inverse permutation (ISA) at termination — free for callers
-    # that need anchors (ISA[u*step]) or the primary index (ISA[0]);
+    return order, rank_sorted, prev_sorted
+
+
+def anchors_from_order(order: jnp.ndarray, units, step, idx0):
+    """isa[u*step] for the anchor grid WITHOUT building the ISA: one
+    drop-mode scatter of j into a (units+1,) table at u = order[j]/step
+    (~7 ms vs ~40 ms for the position-space sort, tools/anchor_probe.py).
+    step == 0 degenerates to idx0 everywhere (the callers' clip
+    semantics)."""
+    j = jnp.arange(order.shape[0], dtype=jnp.int32)
+    s1 = jnp.maximum(step, 1)
+    u = order // s1
+    hit = (order == u * s1) & (u < units) & (order < s1 * units)
+    tbl = jnp.zeros(units + 1, jnp.int32).at[
+        jnp.where(hit, u, units)].set(j, mode="drop")[:units]
+    return jnp.where(step > 0, tbl, idx0)
+
+
+def sa_doubling_anchors_core(t: jnp.ndarray, n: int, units: int):
+    """The forward transform's hot path: (bwt, anchors) with NO final ISA
+    sort — idx0 = argmin(order), anchors via anchors_from_order.
+    Returns (bwt (n,) u8, anchors (units,) i32 = isa[u*step]+1)."""
+    order, _, prev_sorted = _sa_doubling_sorted(t, n)
+    idx0 = jnp.argmin(order)
+    bwt = bwt_from_prev_sorted(prev_sorted, idx0, n)
+    step = n // units
+    anchors = anchors_from_order(order, units, jnp.int32(step), idx0) + 1
+    return bwt, anchors
+
+
+def sa_doubling_core(t: jnp.ndarray, n: int):
+    order, rank_sorted, prev_sorted = _sa_doubling_sorted(t, n)
+    # rank is the inverse permutation (ISA) at termination — for callers
+    # that need it in full; hot paths use sa_doubling_anchors_core;
     # prev_sorted[j] = t[(sa[j]-1) mod n], the gather-free BWT payload.
+    _, rank = jax.lax.sort((order, rank_sorted), num_keys=1, is_stable=False)
     return order, rank, prev_sorted
 
 
 _sa_doubling = partial(jax.jit, static_argnames=("n",))(sa_doubling_core)
 
 
-def sa_doubling_dyn_core(t: jnp.ndarray, n):
+def _sa_doubling_dyn_sorted(t: jnp.ndarray, n):
     """Prefix-doubling SA with TRACED length n over a static-capacity
     buffer t (cap,) — the encode-side counterpart of the decode chain's
     ibwt_dyn_core bucketing (one compile per pow2 bucket, not per exact
-    block length).
+    block length).  Same ISA-at-round-start structure as
+    _sa_doubling_sorted; returns (order, rank_sorted, prev_sorted).
 
     Positions >= n carry maximal sort keys at every round, so they stay
     strictly after every real suffix: the first n entries of `order` are
-    the SA, `rank[i]` for i < n is the ISA, and the first n entries of
-    `prev_sorted` are t[(SA[j]-1) mod n] (the gather-free BWT payload).
-    Requires n >= 2.
+    the SA and the first n entries of `prev_sorted` are
+    t[(SA[j]-1) mod n] (the gather-free BWT payload).  Requires n >= 2.
     """
     cap = t.shape[0]
     pos = jnp.arange(cap, dtype=jnp.int32)
@@ -157,13 +202,14 @@ def sa_doubling_dyn_core(t: jnp.ndarray, n):
         [jnp.ones(1, dtype=jnp.int32), neq.astype(jnp.int32)]
     )
     init_rank = jnp.cumsum(boundaries) - 1
-    _, rank = jax.lax.sort((order, init_rank), num_keys=1, is_stable=False)
     # done iff the first n sorted ranks are distinct; invalid positions
     # always rank past them (their keys are strictly greater), so the
     # check is rank-at-sorted-position n-1 == n-1
     init_done = init_rank[jnp.maximum(n - 1, 0)] == n - 1
 
-    def round_fn(k, rank, order):
+    def round_fn(k, rank_sorted, order):
+        _, rank = jax.lax.sort((order, rank_sorted), num_keys=1,
+                               is_stable=False)
         pos = jnp.arange(cap, dtype=jnp.int32)
         key1 = rank
         key2 = jax.lax.dynamic_slice(
@@ -181,8 +227,7 @@ def sa_doubling_dyn_core(t: jnp.ndarray, n):
             ]
         )
         new_rank = jnp.cumsum(boundaries) - 1
-        _, rank = jax.lax.sort((order, new_rank), num_keys=1, is_stable=False)
-        return rank, order, prev_sorted, \
+        return new_rank, order, prev_sorted, \
             new_rank[jnp.maximum(n - 1, 0)] == n - 1
 
     def cond(carry):
@@ -190,16 +235,41 @@ def sa_doubling_dyn_core(t: jnp.ndarray, n):
         return jnp.logical_and(jnp.logical_not(done), k < 2 * n)
 
     def body(carry):
-        rank, order, prev_sorted, _, k = carry
-        rank, order, prev_sorted, done = round_fn(k, rank, order)
-        return rank, order, prev_sorted, done, k * 2
+        rank_sorted, order, prev_sorted, _, k = carry
+        rank_sorted, order, prev_sorted, done = round_fn(k, rank_sorted,
+                                                         order)
+        return rank_sorted, order, prev_sorted, done, k * 2
 
-    rank, order, prev_sorted, done, _ = jax.lax.while_loop(
+    rank_sorted, order, prev_sorted, done, _ = jax.lax.while_loop(
         cond, body,
-        (rank, order, prev_sorted, init_done,
+        (init_rank, order, prev_sorted, init_done,
          jnp.array(k0, dtype=jnp.int32)),
     )
+    return order, rank_sorted, prev_sorted
+
+
+def sa_doubling_dyn_core(t: jnp.ndarray, n):
+    """(order, rank, prev_sorted) with the full position-space ISA — for
+    callers that slice arbitrary ISA entries; the hot encode path uses
+    sa_doubling_dyn_anchors_core instead."""
+    order, rank_sorted, prev_sorted = _sa_doubling_dyn_sorted(t, n)
+    _, rank = jax.lax.sort((order, rank_sorted), num_keys=1, is_stable=False)
     return order, rank, prev_sorted
+
+
+def sa_doubling_dyn_anchors_core(t: jnp.ndarray, n, units: int):
+    """(bwt (cap,) u8, anchors (units,) i32, idx0) with NO final ISA sort
+    (see sa_doubling_anchors_core).  n must be a multiple of `units` (the
+    callers pass nlen); step = n // units may be 0 for tiny streams, in
+    which case every anchor degenerates to idx0+1 like the clipped-ISA
+    form it replaces."""
+    order, _, prev_sorted = _sa_doubling_dyn_sorted(t, n)
+    idx0 = jnp.argmin(order)
+    cap = t.shape[0]
+    bwt = bwt_from_prev_sorted(prev_sorted, idx0, cap)
+    step = n // units
+    anchors = anchors_from_order(order, units, step, idx0) + 1
+    return bwt, anchors, idx0
 
 
 def bwt_from_prev_sorted(prev_sorted: jnp.ndarray, idx: jnp.ndarray,
