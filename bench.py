@@ -75,7 +75,7 @@ def main():
     import jax.numpy as jnp
 
     from jampack_tpu.kernels.ibwt import chase_combined_core, combined_map_core
-    from jampack_tpu.kernels.sa import sa_doubling_anchors_core
+    from jampack_tpu.kernels.sa import bwt_from_prev_sorted, sa_doubling_core
 
     mb = 8
     n = (mb << 20) - ((mb << 20) % (120 * 16))
@@ -83,12 +83,19 @@ def main():
     td = jax.device_put(jnp.asarray(data))
 
     def make_fns(units):
-        # both directions fuse profitably now that emission is gather-free;
-        # r4: anchors come from `order` directly (drop-scatter + argmin),
-        # no final position-space ISA sort (kernels/sa.py)
+        step = n // units
+
+        # both directions fuse profitably now that emission is gather-free.
+        # (r4 negative result, kept for the record: extracting anchors from
+        # `order` via a tiny-table drop scatter + argmin measures 109 ms on
+        # chip vs 36 ms for this final ISA sort — tools/anchor_probe.py —
+        # so the sort stays; sorting by the permutation key beats scatters
+        # on this platform even when the table is 1920 entries.)
         @jax.jit
         def forward(t):
-            return sa_doubling_anchors_core(t, n, units)
+            sa, isa, prev_sorted = sa_doubling_core(t, n)
+            bwt = bwt_from_prev_sorted(prev_sorted, isa[0], n)
+            return bwt, isa[: units * step : step] + 1
 
         @jax.jit
         def inverse(bwt, anchors):

@@ -218,7 +218,6 @@ def encode_block_core(data: jnp.ndarray, fconfigs=None, *, n: int,
     from ..format.constants import FILTER_BLOCK_SIZE, LZ_MIN_MATCH
     from ..stages.lz77 import write_token
     from .rans_encode import rans_reverse_encode_wide
-    from .rans_wide import model_pairs_wide
     from .sa import bwt_from_prev_sorted, sa_doubling_core
 
     tok = np.frombuffer(write_token(LZ_MIN_MATCH, LZ_MIN_MATCH, 0),
@@ -256,7 +255,7 @@ def encode_block_core(data: jnp.ndarray, fconfigs=None, *, n: int,
     from ..stages.lpx import _split_spans
     from .lpx_tpu import _code_span
 
-    sp = _split_spans(n2, lpx_spans)
+    sp = _split_spans(n2, lpx_spans) if lpx_spans > 0 else []
     if sp:
         R = len(sp)
         bspan = sp[0][1]
@@ -410,15 +409,17 @@ def encode_back_core(s3: jnp.ndarray, n3, *, units: int, chunk: int,
     buffer.  s3: (cap3,) u8 zero-padded past n3.  Returns the same
     (bufs, ptrs, oks, freqs, rlens) layout as encode_block_core with
     capacity-sized leading dims; callers slice the live chunks."""
-    from .sa import sa_doubling_dyn_anchors_core
+    from .sa import bwt_from_prev_sorted, sa_doubling_dyn_core
 
     cap3 = s3.shape[0]
     pos = jnp.arange(cap3 + 4 * units, dtype=jnp.int32)
     rem = n3 % units
     nlen = n3 - rem
-    # anchors from `order` directly — no final position-space ISA sort
-    # (kernels/sa.py round-4 restructure)
-    bwt, anchors, _ = sa_doubling_dyn_anchors_core(s3, nlen, units)
+    order, isa, prev_sorted = sa_doubling_dyn_core(s3, nlen)
+    bwt = bwt_from_prev_sorted(prev_sorted, isa[0], cap3)
+    step = nlen // units
+    u = jnp.arange(units, dtype=jnp.int32)
+    anchors = isa[jnp.clip(u * step, 0, cap3 - 1)] + 1
     abytes = ((anchors[:, None] >> jnp.asarray([0, 8, 16, 24])[None, :])
               & 0xFF).astype(jnp.uint8).reshape(-1)
     s4 = jnp.where(pos[:cap3] < nlen, bwt, s3)

@@ -661,7 +661,12 @@ def model_pairs_wide_pallas(chains: jnp.ndarray, rlens: jnp.ndarray,
     LB = _pick_lb(Lp)
     pad = Lp - L
 
-    chains_t = jnp.pad(chains, ((0, pad), (0, 0))).astype(jnp.int32).T
+    # lanes-major everywhere on the XLA side: big (L, max_rlen)-shaped
+    # transposes measure ~0.5-1.8 s at the 8 MB bench shapes on this
+    # platform, so the per-step symbol column comes from a (Lp, 1)
+    # dynamic_slice (reshape to the kernel's (1, Lp) row is free) and the
+    # per-step (2, Lp) outputs transpose SMALL before the column write
+    chains_p = jnp.pad(chains, ((0, pad), (0, 0))).astype(jnp.int32)
     rlens_p = jnp.pad(rlens, (0, pad), constant_values=0)
     rl2 = rlens_p[None, :].astype(jnp.int32)
 
@@ -671,8 +676,8 @@ def model_pairs_wide_pallas(chains: jnp.ndarray, rlens: jnp.ndarray,
     qse = jnp.zeros((16, Lp), jnp.int32)
     qse = qse.at[8:14, :].set(8)  # exp thresholds start at 8
     ok = jnp.ones((1, Lp), jnp.int32)
-    lows_t = jnp.zeros((2 * max_rlen, Lp), jnp.uint16)
-    fqs_t = jnp.zeros((2 * max_rlen, Lp), jnp.uint16)
+    lows = jnp.zeros((Lp, 2 * max_rlen), jnp.uint16)
+    fqs = jnp.zeros((Lp, 2 * max_rlen), jnp.uint16)
 
     rowc = jnp.asarray(_ROWC)
     segbt = jnp.asarray(_SEGBT, jnp.bfloat16)
@@ -683,19 +688,19 @@ def model_pairs_wide_pallas(chains: jnp.ndarray, rlens: jnp.ndarray,
     step = _pairs_call(LB, Lp, interpret)
 
     def body(i, carry):
-        bank, qf, qse, ok, lows_t, fqs_t = carry
-        sym = jax.lax.dynamic_slice(chains_t, (i, 0), (1, Lp))
+        bank, qf, qse, ok, lows, fqs = carry
+        sym = jax.lax.dynamic_slice(chains_p, (0, i), (Lp, 1)).reshape(1, Lp)
         i2 = jnp.full((1, 1), i, jnp.int32)
         bank, qf, qse, ok, lo, fq = step(
             i2, sym, bank, qf, qse, ok, rl2, rowc, segbt, segqt, cumt,
             mixb)
-        lows_t = jax.lax.dynamic_update_slice(
-            lows_t, lo.astype(jnp.uint16), (2 * i, 0))
-        fqs_t = jax.lax.dynamic_update_slice(
-            fqs_t, fq.astype(jnp.uint16), (2 * i, 0))
-        return bank, qf, qse, ok, lows_t, fqs_t
+        lows = jax.lax.dynamic_update_slice(
+            lows, lo.astype(jnp.uint16).T, (0, 2 * i))
+        fqs = jax.lax.dynamic_update_slice(
+            fqs, fq.astype(jnp.uint16).T, (0, 2 * i))
+        return bank, qf, qse, ok, lows, fqs
 
     steps = jnp.minimum(jnp.maximum(jnp.max(rlens), 0), max_rlen)
-    bank, qf, qse, ok, lows_t, fqs_t = jax.lax.fori_loop(
-        0, steps, body, (bank, qf, qse, ok, lows_t, fqs_t))
-    return (lows_t[:, :L].T, fqs_t[:, :L].T, ok[0, :L] != 0)
+    bank, qf, qse, ok, lows, fqs = jax.lax.fori_loop(
+        0, steps, body, (bank, qf, qse, ok, lows, fqs))
+    return (lows[:L], fqs[:L], ok[0, :L] != 0)

@@ -124,10 +124,15 @@ def _sa_doubling_sorted(t: jnp.ndarray, n: int):
 
 def anchors_from_order(order: jnp.ndarray, units, step, idx0):
     """isa[u*step] for the anchor grid WITHOUT building the ISA: one
-    drop-mode scatter of j into a (units+1,) table at u = order[j]/step
-    (~7 ms vs ~40 ms for the position-space sort, tools/anchor_probe.py).
-    step == 0 degenerates to idx0 everywhere (the callers' clip
-    semantics)."""
+    drop-mode scatter of j into a (units+1,) table at u = order[j]/step.
+    MEASURED NEGATIVE on chip (tools/anchor_probe.py, 8.4M/1920 units):
+    scatter 78 ms + argmin 31 ms vs 36 ms for the 1-key ISA sort — the
+    CPU backend shows the opposite (7 vs 409 ms), but on TPU even a
+    tiny-table scatter processes all n updates serially enough to lose.
+    Kept (with sa_doubling*_anchors_core) as the documented disproof of
+    VERDICT r3 #7's final-sort-elimination idea; production callers use
+    the full-ISA cores.  step == 0 degenerates to idx0 everywhere (the
+    callers' clip semantics)."""
     j = jnp.arange(order.shape[0], dtype=jnp.int32)
     s1 = jnp.maximum(step, 1)
     u = order // s1

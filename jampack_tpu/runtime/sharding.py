@@ -49,10 +49,11 @@ def codec_block_step(block):
     cores the single-chip kernels jit (kernels/sa.py, ibwt.py, lpx_tpu.py)."""
     from ..kernels.ibwt import chase_combined_core, combined_map_core
     from ..kernels.lpx_tpu import _code_span
-    from ..kernels.sa import sa_doubling_anchors_core
+    from ..kernels.sa import bwt_from_prev_sorted, sa_doubling_core
 
     n = block.shape[0]
     units = 120 if n % 120 == 0 else 1
+    step = n // units
 
     # Lpx: 4 equal spans in lockstep (lpx.cpp:150-169); require 4 | n for
     # the jittable step (the host wrappers handle ragged spans)
@@ -68,9 +69,9 @@ def codec_block_step(block):
 
     filtered = lpx(block, decode=False)
 
-    # ISA[u*step]+1 anchors (bwt.cpp:44-48) extracted from `order` with no
-    # final ISA sort (kernels/sa.py round-4 restructure)
-    bwt, anchors = sa_doubling_anchors_core(filtered, n, units)
+    sa, isa, prev_sorted = sa_doubling_core(filtered, n)
+    bwt = bwt_from_prev_sorted(prev_sorted, isa[0], n)
+    anchors = isa[: units * step : step] + 1  # ISA[u*step]+1, bwt.cpp:44-48
 
     cmap = combined_map_core(bwt, anchors[0], n)
     recon_f = chase_combined_core(cmap, anchors, n, units)
