@@ -208,8 +208,23 @@ def _e2e_metrics(data: np.ndarray) -> dict:
         assert (crc_e, pay_e) == _cb(data, eopt, _NE())  # byte contract
         out["encode_e2e_tpu_fused_8mb_mbps"] = round(
             n / 1e6 / _best_of(lambda: encode_block_device(data, eopt)), 2)
+
+        # production native-stream encode: the Lpx auto gate measures no
+        # gain on this corpus, so the device chain runs with spans=0 (the
+        # host encoder would frame the same choice — see the decode-side
+        # auto metric); byte contract vs the host engine at spans=0
+        from jampack_tpu.runtime.pipeline import compress_block_ex as _cbx
+        aopt = _O(blocksize=n, match_finder=3, filters=0, rans_lanes=16,
+                  ans_chunk=8 << 10, anchor_units=960, lpx_spans=0)
+        crc_a, pay_a = encode_block_device(data, aopt)  # warmup/compile
+        ch, ph, su = _cbx(data, aopt, _NE())
+        assert (crc_a, pay_a) == (ch, ph) and su == 0
+        out["encode_e2e_tpu_fused_8mb_auto_mbps"] = round(
+            n / 1e6 / _best_of(lambda: encode_block_device(data, aopt)), 2)
     except Exception as e:  # pragma: no cover
-        out["encode_e2e_tpu_fused_8mb_mbps"] = f"error: {e}"
+        out["encode_e2e_tpu_fused_8mb_mbps"] = (
+            out.get("encode_e2e_tpu_fused_8mb_mbps") or f"error: {e}")
+        out["encode_e2e_tpu_fused_8mb_auto_mbps"] = f"error: {e}"
 
     try:
         from jampack_tpu.runtime.device_decode import decode_block_device

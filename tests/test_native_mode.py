@@ -244,8 +244,11 @@ def test_lpx_spans_default_stays_jam():
 def test_lpx_spans_validated():
     from jampack_tpu.runtime.pipeline import validate_lpx_spans
 
+    # 0 is VALID since round 4 (Lpx stage skipped, framing.py); negatives
+    # and oversize still rejected
+    assert Options(lpx_spans=0).lpx_spans == 0
     with pytest.raises(ValueError):
-        Options(lpx_spans=0)
+        Options(lpx_spans=-1)
     with pytest.raises(ValueError):
         validate_lpx_spans((1 << 16) + 1)
     # framing rejects out-of-range span words

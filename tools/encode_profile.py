@@ -147,10 +147,31 @@ def main():
 
     chains, crlens = timeit("lane_deal", deal, syms, rlens)
     f_model = jax.jit(partial(model_pairs_wide, max_rlen=max_rlen))
-    lows, fqs, oks = timeit("model_pairs_wide", f_model, chains, crlens)
-    f_rev = jax.jit(jax.vmap(
-        lambda lo, fq, rl: rans_reverse_encode(lo, fq, rl, max_rlen)))
-    bufs, ptrs = timeit("rans_reverse", f_rev, lows, fqs, crlens)
+    lows, fqs, oks = timeit("model_pairs_wide (xla)", f_model, chains,
+                            crlens)
+    try:
+        from jampack_tpu.kernels.rans_pallas import model_pairs_wide_pallas
+
+        f_mp = jax.jit(partial(model_pairs_wide_pallas, max_rlen=max_rlen))
+        plo, pfq, pok = timeit("model_pairs_wide (pallas)", f_mp, chains,
+                               crlens)
+        live = np.asarray(crlens)
+        alo, afq = np.asarray(lows), np.asarray(fqs)
+        blo, bfq = np.asarray(plo), np.asarray(pfq)
+        mismatch = any(
+            not (np.array_equal(alo[l, :2 * k], blo[l, :2 * k])
+                 and np.array_equal(afq[l, :2 * k], bfq[l, :2 * k]))
+            for l, k in enumerate(live))
+        if mismatch:
+            print("  WARNING: pallas/xla pairs mismatch — keeping xla")
+        else:
+            lows, fqs = plo, pfq
+    except Exception as e:  # noqa: BLE001
+        print(f"  pallas pairs unavailable: {e}")
+    from jampack_tpu.kernels.rans_encode import rans_reverse_encode_wide
+
+    f_rev = jax.jit(partial(rans_reverse_encode_wide, max_rlen=max_rlen))
+    bufs, ptrs = timeit("rans_reverse_wide", f_rev, lows, fqs, crlens)
 
     # whole fused call for the end-to-end number
     f_all = partial(es.encode_block_core, n=n, units=units, chunk=chunk,
