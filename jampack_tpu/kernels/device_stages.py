@@ -745,8 +745,17 @@ def decode_block_core(payload: jnp.ndarray, starts: jnp.ndarray,
         lambda s, rl, ol: rle0_decode_core(s, rl, ol, ocap)
     )(chunk_syms, chunk_rlens, chunk_olens)
 
-    # ---- 4. SRC rank decode, all chunks in lockstep
-    chunk_bytes, rank_ok = rank_decode_core(ranks, freqs, chunk_olens, ocap)
+    # ---- 4. SRC rank decode, all chunks in lockstep; wide packed-regime
+    # streams take the Pallas step kernel on the TPU backend (rank_pallas:
+    # whole MTF body in VMEM; same routing rule as the rANS stage)
+    if _use_pallas_rans() and ocap <= 0x7FFF and CMAX >= 256:
+        from .rank_pallas import rank_decode_pallas
+
+        chunk_bytes, rank_ok = rank_decode_pallas(ranks, freqs,
+                                                  chunk_olens, ocap)
+    else:
+        chunk_bytes, rank_ok = rank_decode_core(ranks, freqs, chunk_olens,
+                                                ocap)
 
     # ---- 5. concatenate chunks: when every nonempty chunk starts at
     # c*ocap (i.e. all preceding chunks are exactly full — the common case

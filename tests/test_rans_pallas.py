@@ -6,6 +6,7 @@ by tools/chip_parity.py (CLAUDE.md round-2/3 lesson: the CPU backend is
 not a faithful proxy for TPU lowering).
 """
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -186,3 +187,36 @@ def test_pallas_pairs_wrap_regime_failure_parity():
     for l in range(L):
         assert np.array_equal(np.asarray(a_lo)[l], np.asarray(b_lo)[l]), l
         assert np.array_equal(np.asarray(a_fq)[l], np.asarray(b_fq)[l]), l
+
+
+# ---------------------------------------------------------------------------
+# Rank decode Pallas kernel (round 4)
+
+
+@pytest.mark.parametrize("L,ocap,seed", [(4, 512, 0), (8, 300, 1),
+                                         (16, 1024, 2)])
+def test_pallas_rank_decode_matches_core(L, ocap, seed):
+    from jampack_tpu.kernels.device_stages import rank_decode_core
+    from jampack_tpu.kernels.rank_pallas import rank_decode_pallas
+    from jampack_tpu.stages.rank import rank_encode
+
+    rng = np.random.default_rng(seed)
+    ranks = np.zeros((L, ocap), np.uint8)
+    freqs = np.zeros((L, 256), np.int32)
+    olens = np.zeros(L, np.int32)
+    for l in range(L):
+        n = int(rng.integers(0, ocap + 1))
+        raw = np.repeat(rng.integers(0, 40, max(n, 1)),
+                        rng.integers(1, 6, max(n, 1)))[:n].astype(np.uint8)
+        r, f = rank_encode(raw)
+        ranks[l, :n] = np.asarray(r, np.uint8)
+        freqs[l] = np.asarray(f, np.int32)
+        olens[l] = n
+    a, aok = jax.jit(
+        lambda r, f, o: rank_decode_core(r, f, o, ocap))(
+        jnp.asarray(ranks), jnp.asarray(freqs), jnp.asarray(olens))
+    b, bok = rank_decode_pallas(
+        jnp.asarray(ranks), jnp.asarray(freqs), jnp.asarray(olens), ocap,
+        interpret=True)
+    assert np.array_equal(np.asarray(aok), np.asarray(bok))
+    assert np.array_equal(np.asarray(a), np.asarray(b))
