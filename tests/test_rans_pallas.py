@@ -220,3 +220,54 @@ def test_pallas_rank_decode_matches_core(L, ocap, seed):
         interpret=True)
     assert np.array_equal(np.asarray(aok), np.asarray(bok))
     assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pallas_decode_under_vmap():
+    """decode_blocks_device vmaps decode_block_core over a block axis, so
+    the Pallas step kernel must stay bit-exact under jax.vmap (the
+    batching rule extends the grid)."""
+    from functools import partial
+
+    cases = [_chunk_case(800, 4, s) for s in range(3)]
+    cap = max(c[0].size for c in cases)
+    bufs = jnp.asarray(np.stack([np.pad(c[0], (0, cap - c[0].size))
+                                 for c in cases]))
+    starts = jnp.asarray(np.stack([c[1] for c in cases]))
+    rlens = jnp.asarray(np.stack([c[2] for c in cases]))
+    mr = 1 << int(max(int(c[2].max()) for c in cases) - 1).bit_length()
+    a, aok = jax.vmap(partial(decode_lanes_wide, max_rlen=mr))(
+        bufs, starts, rlens)
+    b, bok = jax.vmap(partial(decode_lanes_wide_pallas, max_rlen=mr,
+                              interpret=True))(bufs, starts, rlens)
+    assert np.array_equal(np.asarray(aok), np.asarray(bok))
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pallas_rank_decode_under_vmap():
+    from functools import partial
+
+    from jampack_tpu.kernels.device_stages import rank_decode_core
+    from jampack_tpu.kernels.rank_pallas import rank_decode_pallas
+    from jampack_tpu.stages.rank import rank_encode
+
+    rng = np.random.default_rng(17)
+    B, L, ocap = 2, 4, 256
+    ranks = np.zeros((B, L, ocap), np.uint8)
+    freqs = np.zeros((B, L, 256), np.int32)
+    olens = np.zeros((B, L), np.int32)
+    for b in range(B):
+        for l in range(L):
+            n = int(rng.integers(1, ocap + 1))
+            raw = np.repeat(rng.integers(0, 30, n),
+                            rng.integers(1, 4, n))[:n].astype(np.uint8)
+            r, f = rank_encode(raw)
+            ranks[b, l, :n] = np.asarray(r, np.uint8)
+            freqs[b, l] = np.asarray(f, np.int32)
+            olens[b, l] = n
+    a, aok = jax.vmap(lambda r, f, o: rank_decode_core(r, f, o, ocap))(
+        jnp.asarray(ranks), jnp.asarray(freqs), jnp.asarray(olens))
+    b_, bok = jax.vmap(partial(rank_decode_pallas, out_cap=ocap,
+                               interpret=True))(
+        jnp.asarray(ranks), jnp.asarray(freqs), jnp.asarray(olens))
+    assert np.array_equal(np.asarray(aok), np.asarray(bok))
+    assert np.array_equal(np.asarray(a), np.asarray(b_))
