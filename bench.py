@@ -221,6 +221,17 @@ def _e2e_metrics(data: np.ndarray) -> dict:
         assert (crc_a, pay_a) == (ch, ph) and su == 0
         out["encode_e2e_tpu_fused_8mb_auto_mbps"] = round(
             n / 1e6 / _best_of(lambda: encode_block_device(data, aopt)), 2)
+
+        # aggregate multi-block ENCODE on one chip (jampack.cpp:193-224
+        # counterpart): B=4 blocks in one batched device program
+        from jampack_tpu.runtime.device_encode import encode_blocks_device
+
+        eblocks = [data] + [textlike(n, seed=s) for s in (1, 2, 3)]
+        got = encode_blocks_device(eblocks, aopt)  # warmup + compile
+        assert got[0] == (crc_a, pay_a)
+        out["encode_aggregate_b4_mbps"] = round(
+            4 * n / 1e6 / _best_of(
+                lambda: encode_blocks_device(eblocks, aopt), trials=2), 2)
     except Exception as e:  # pragma: no cover
         out["encode_e2e_tpu_fused_8mb_mbps"] = (
             out.get("encode_e2e_tpu_fused_8mb_mbps") or f"error: {e}")

@@ -117,6 +117,84 @@ def encode_block_device(data: np.ndarray, opt: Options):
                                   stage4_len(n, units), chunk, lanes)
 
 
+_BATCH_ENC_JIT = {}
+
+
+def encode_blocks_device(blocks, opt: Options):
+    """Encode B same-length blocks in ONE batched device program on one
+    chip (the encode counterpart of decode_blocks_device; reference
+    analog: the multi-block OpenMP compress loop, jampack.cpp:193-224).
+    Same configuration support as encode_block_device; all blocks must
+    share a length.  Returns a list of (crc, payload) tuples, each
+    byte-identical to encode_block_device on that block."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..format.constants import FILTER_BLOCK_SIZE, LZ_MIN_MATCH
+    from ..kernels.encode_stages import _ceil_div, encode_block_dyn_core
+    from ..stages.lz77 import write_token
+
+    if opt.match_finder != LZ_MODE_STORE or opt.filters not in (0, 1, 2):
+        raise NotImplementedError(
+            "device encode supports match_finder=3 (store) + filters 0/1/2")
+    if len({int(np.asarray(b).size) for b in blocks}) != 1:
+        raise NotImplementedError("batched encode needs same-length blocks")
+    blocks = [np.ascontiguousarray(np.asarray(b, np.uint8)) for b in blocks]
+    n = int(blocks[0].size)
+    units = int(opt.anchor_units)
+    if n < max(4 * units, 1024):
+        raise NotImplementedError("block too small for the device chain")
+    chunk = min(max(int(opt.ans_chunk), 1), ANS_CHUNK_SIZE)
+    lanes = int(opt.rans_lanes)
+    spans = int(opt.lpx_spans)
+    T = len(write_token(LZ_MIN_MATCH, LZ_MIN_MATCH, 0))
+    n2 = (n + T) + 2 * _ceil_div(n + T, FILTER_BLOCK_SIZE)
+    cap = _bucket_cap(n)
+    f_cap = _ceil_div(cap + T, FILTER_BLOCK_SIZE)
+    if spans > 0:
+        b2 = n2 // spans
+        span_cap = max(f_cap * (FILTER_BLOCK_SIZE + 2) // spans, 4) + 4
+        if ((b2 > 0 and (n2 - spans * b2) > b2)
+                or (b2 == 0 and n2 > span_cap - 4)):
+            raise NotImplementedError(
+                "Lpx span layout outside the batched device regime")
+
+    padded = np.zeros((len(blocks), cap), np.uint8)
+    for i, blk in enumerate(blocks):
+        padded[i, :n] = blk
+    fcs = None
+    if opt.filters > 0:
+        fcs = np.zeros((len(blocks), f_cap, 2), np.int32)
+        for i, blk in enumerate(blocks):
+            fc = filter_configs(blk, opt.filters)
+            fcs[i, : fc.shape[0]] = fc
+
+    key = (len(blocks), cap, units, chunk, lanes, spans, fcs is not None)
+    fn = _BATCH_ENC_JIT.get(key)
+    if fn is None:
+        from functools import partial
+
+        core = partial(encode_block_dyn_core, units=units, chunk=chunk,
+                       lanes=lanes, lpx_spans=spans)
+        fn = jax.jit(jax.vmap(
+            lambda d, nn, fc=None: core(d, nn, fc),
+            in_axes=(0, 0, 0) if fcs is not None else (0, 0)))
+        _BATCH_ENC_JIT[key] = fn
+    nvec = jnp.full(len(blocks), n, jnp.int32)
+    args = (jnp.asarray(padded), nvec) + (
+        (jnp.asarray(fcs),) if fcs is not None else ())
+    bufs, ptrs, oks, freqs, rlens, sup = fn(*args)
+    assert bool(np.asarray(sup).all())
+    out = []
+    for i, blk in enumerate(blocks):
+        crc = _checksum.integrity_check(blk)
+        payload = _fetch_and_splice(bufs[i], ptrs[i], oks[i], freqs[i],
+                                    rlens[i], stage4_len(n, units), chunk,
+                                    lanes)
+        out.append((crc, payload))
+    return out
+
+
 def _fetch_and_splice(bufs, ptrs, oks, freqs, rlens, n4: int, chunk: int,
                       lanes: int) -> bytes:
     """Device-compact the chain payload tails, fetch the live chunks, and

@@ -577,3 +577,21 @@ def test_batched_blocks_decode_corrupt_names_block():
     with pytest.raises(ValueError, match="block 1"):
         decode_blocks_device(payloads, crcs, opt.blocksize,
                              opt.anchor_units, opt.rans_lanes, opt.lpx_spans)
+
+
+def test_batched_blocks_encode():
+    """B same-length blocks in one batched device encode program
+    (encode_blocks_device): per-block payloads byte-identical to the
+    single-block device path / host engines."""
+    from jampack_tpu.runtime.device_encode import encode_blocks_device
+
+    n = 6000
+    blocks = [_corpus(n) for _ in range(3)]
+    for filters in (0, 1):
+        opt = Options(blocksize=1 << 20, match_finder=3, filters=filters,
+                      rans_lanes=4, ans_chunk=2048, anchor_units=8,
+                      lpx_spans=16)
+        got = encode_blocks_device(blocks, opt)
+        for (crc, payload), blk in zip(got, blocks):
+            want = compress_block(blk, opt, Engine())
+            assert (crc, payload) == want

@@ -46,7 +46,9 @@ def one(seed: int) -> str:
         anchor_units=int(rng.choice([120, 240, 480, 960, 1920])),
         ans_chunk=int(rng.choice([32, 128, 512, 1024])) << 10,
         rans_lanes=int(rng.choice([0, 2, 4, 16, 64])),
-        lpx_spans=int(rng.choice([1, 4, 16, 64, 960])),
+        # 0 = Lpx stage skipped (round 4); lpx_auto gates per block
+        lpx_spans=int(rng.choice([0, 1, 4, 16, 64, 960])),
+        lpx_auto=bool(rng.integers(0, 2)),
     )
     arc = io.BytesIO()
     compress_stream(io.BytesIO(data), arc, opt, engine=NativeEngine())
