@@ -66,7 +66,11 @@ def _rank_step_kernel(i_ref, rb_ref, olens_ref, r2s_ref, bkt_ref, misc_ref,
     # can roll i32 rows, so roll down one and pin row 255
     rolled = pltpu.roll(r2s, 255, axis=0)  # = shift -1 (roll wants >= 0)
     shifted = jnp.where(row == 255, r2s, rolled)
-    shift_mask = jnp.where(do_mtf, row < rank, fall & (row < m))
+    # boolean algebra, NOT jnp.where with bool branches: Mosaic cannot
+    # truncate the resulting i8 select back to i1 ("Unsupported target
+    # bitwidth for truncation", CLAUDE.md round-3 rule)
+    shift_mask = ((do_mtf & (row < rank))
+                  | (jnp.logical_not(do_mtf) & fall & (row < m)))
     set_mask = do_mtf & (row == rank)
     r2s = jnp.where(set_mask, sym, jnp.where(shift_mask, shifted, r2s))
     # cursor advance: +1 on the packed low half (cur <= end <= 32767:

@@ -176,9 +176,24 @@ def encode_blocks_device(blocks, opt: Options):
 
         core = partial(encode_block_dyn_core, units=units, chunk=chunk,
                        lanes=lanes, lpx_spans=spans)
-        fn = jax.jit(jax.vmap(
-            lambda d, nn, fc=None: core(d, nn, fc),
-            in_axes=(0, 0, 0) if fcs is not None else (0, 0)))
+
+        # lax.scan over the block axis, NOT vmap: a vmapped
+        # sa_doubling_dyn_core makes XLA lay out the (B, cap) sort temps
+        # batch-minor (B=4 occupying the 128-lane axis -> 32x padding,
+        # measured 24 GB HBM demand at B=4 x 8 MB); scan keeps every
+        # per-block temp 1-D and still amortizes the host dispatch across
+        # the batch (the encode chain's own lanes are already saturated)
+        if fcs is not None:
+            def fn(d, nn, fc):
+                return jax.lax.scan(
+                    lambda c, x: (c, core(x[0], x[1], x[2])),
+                    None, (d, nn, fc))[1]
+        else:
+            def fn(d, nn):
+                return jax.lax.scan(
+                    lambda c, x: (c, core(x[0], x[1], None)),
+                    None, (d, nn))[1]
+        fn = jax.jit(fn)
         _BATCH_ENC_JIT[key] = fn
     nvec = jnp.full(len(blocks), n, jnp.int32)
     args = (jnp.asarray(padded), nvec) + (
