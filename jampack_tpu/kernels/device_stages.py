@@ -745,10 +745,15 @@ def decode_block_core(payload: jnp.ndarray, starts: jnp.ndarray,
         lambda s, rl, ol: rle0_decode_core(s, rl, ol, ocap)
     )(chunk_syms, chunk_rlens, chunk_olens)
 
-    # ---- 4. SRC rank decode, all chunks in lockstep; wide packed-regime
-    # streams take the Pallas step kernel on the TPU backend (rank_pallas:
-    # whole MTF body in VMEM; same routing rule as the rANS stage)
-    if _use_pallas_rans() and ocap <= 0x7FFF and CMAX >= 256:
+    # ---- 4. SRC rank decode, all chunks in lockstep.  A Pallas step
+    # kernel exists (rank_pallas.py) but measured NEUTRAL on chip at the
+    # bench shapes (295.6 vs 291.5 ms, tools/rank_bench.py — unlike the
+    # rANS step, this loop's XLA body already fuses well), so the XLA
+    # kernel stays the default; JAMPACK_RANK_PALLAS=1 opts in.
+    import os as _os
+
+    if (_os.environ.get("JAMPACK_RANK_PALLAS") == "1"
+            and ocap <= 0x7FFF and CMAX >= 256):
         from .rank_pallas import rank_decode_pallas
 
         chunk_bytes, rank_ok = rank_decode_pallas(ranks, freqs,
