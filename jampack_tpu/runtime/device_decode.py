@@ -174,10 +174,22 @@ def _jitted_batch_core(lanes, units, rmax, ocap, out_cap, max_tokens,
     if fn is None:
         from ..kernels.device_stages import decode_block_core
 
-        fn = jax.jit(jax.vmap(partial(
+        core = partial(
             decode_block_core, lanes=lanes, units=units, rmax=rmax,
             ocap=ocap, out_cap=out_cap, max_tokens=max_tokens,
-            lpx_spans=lpx_spans)))
+            lpx_spans=lpx_spans)
+
+        # lax.scan over the block axis, NOT vmap: XLA lays the vmapped
+        # chain's (B, n)-shaped sort/loop temps out batch-minor (B in the
+        # 128-lane axis -> up to 32x padding; measured 3.5x SLOWER than
+        # sequential at B=4 x 8 MB, BENCH r4 first run).  scan keeps every
+        # per-block temp 1-D and amortizes host dispatch across the batch.
+        def fn(pay, starts, rlens, olens, crlens, freqs):
+            return jax.lax.scan(
+                lambda c, x: (c, core(*x)), None,
+                (pay, starts, rlens, olens, crlens, freqs))[1]
+
+        fn = jax.jit(fn)
         _JIT_CACHE[key] = fn
     return fn
 
