@@ -234,9 +234,16 @@ def decode_blocks_device(payloads, crcs, blocksize: int, units: int = 120,
                             shapes["out_cap"], shapes["max_tokens"],
                             lpx_spans, len(payloads))
     outs, ns, oks, sups = fn(pay_dev, *stacked[1:])
+    # one status fetch for the whole batch (each scalar pull is a tunnel
+    # round trip)
+    import jax
+
+    status = np.asarray(jax.device_get(jnp.stack(
+        [ns.astype(jnp.int32), oks.astype(jnp.int32),
+         sups.astype(jnp.int32)], axis=1)))
     results = []
     for i, (payload, crc) in enumerate(zip(payloads, crcs)):
-        if not bool(sups[i]):
+        if not bool(status[i, 2]):
             from .engines import NativeEngine
             from .pipeline import decompress_block
 
@@ -244,9 +251,9 @@ def decode_blocks_device(payloads, crcs, blocksize: int, units: int = 120,
                                             blocksize, units, lanes,
                                             lpx_spans))
             continue
-        if not bool(oks[i]):
+        if not bool(status[i, 1]):
             raise ValueError(f"device decode failed (corrupt block {i})")
-        data = np.asarray(jax.device_get(outs[i, : int(ns[i])]))
+        data = np.asarray(jax.device_get(outs[i, : int(status[i, 0])]))
         if _checksum.integrity_check(data) != (crc & 0xFFFFFFFF):
             raise ValueError(f"detected corrupt block {i}")
         results.append(data)
@@ -260,6 +267,7 @@ def decode_block_device(payload: bytes, crc: int, blocksize: int,
     fetched result.  The single-chip counterpart of the sharded multi-chip
     step (runtime/sharding.py)."""
     import jax
+    import jax.numpy as jnp
 
     meta = block_meta(payload, lanes)
     shapes = plan_shapes([meta], [len(payload)], blocksize, lanes)
@@ -268,6 +276,11 @@ def decode_block_device(payload: bytes, crc: int, blocksize: int,
                       shapes["out_cap"], shapes["max_tokens"], lpx_spans)
     out, n, ok, lpx_sup = fn(_pay_to_device(payload, shapes["pcap"]),
                              *packed[1:])
+    # ONE status fetch instead of three: every scalar bool()/int() is its
+    # own ~25-50 ms round trip through the tunnel
+    n_, ok_, lpx_sup = (int(x) for x in np.asarray(jax.device_get(
+        jnp.stack([jnp.int32(n), ok.astype(jnp.int32),
+                   lpx_sup.astype(jnp.int32)]))))
     if not bool(lpx_sup):
         # valid stream whose Lpx span split exceeds the kernel's static
         # lane layout (n % spans > n // spans, only when the Lpx stage is
@@ -277,11 +290,11 @@ def decode_block_device(payload: bytes, crc: int, blocksize: int,
 
         return decompress_block(payload, crc, NativeEngine(), blocksize,
                                 units, lanes, lpx_spans)
-    if not bool(ok):
+    if not bool(ok_):
         raise ValueError("device decode failed (corrupt stream)")
     # slice to the real length ON DEVICE: out is out_cap-padded (~12%
     # over an 8 MB block) and host transfer is the tunnel's wall
-    data = np.asarray(jax.device_get(out[: int(n)]))
+    data = np.asarray(jax.device_get(out[:n_]))
     if _checksum.integrity_check(data) != (crc & 0xFFFFFFFF):
         raise ValueError("detected corrupt block")
     return data

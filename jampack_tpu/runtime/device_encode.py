@@ -118,6 +118,7 @@ def encode_block_device(data: np.ndarray, opt: Options):
 
 
 _BATCH_ENC_JIT = {}
+_JIT_META_PACK = {}
 
 
 def encode_blocks_device(blocks, opt: Options):
@@ -229,10 +230,25 @@ def _fetch_and_splice(bufs, ptrs, oks, freqs, rlens, n4: int, chunk: int,
     # transfer on an 8 MB block)
     blen = int(bufs.shape[1])
     dense = _compact_chains(bufs, ptrs)
-    ptrs = np.asarray(jax.device_get(ptrs))[:NL]
-    oks = np.asarray(jax.device_get(oks))[:NL]
-    freqs = np.asarray(jax.device_get(freqs[:C]))
-    rlens = np.asarray(jax.device_get(rlens[:C]))
+    # ONE metadata fetch instead of four (each device_get is its own
+    # tunnel round trip): concat everything i32 on device, split on host
+    import jax.numpy as jnp
+
+    key = ("pk", NL, C)
+    packer = _JIT_META_PACK.get(key)
+    if packer is None:
+        def _pk(p, o, f, r):
+            return jnp.concatenate([
+                p[:NL].astype(jnp.int32), o[:NL].astype(jnp.int32),
+                f[:C].reshape(-1).astype(jnp.int32),
+                r[:C].astype(jnp.int32)])
+        packer = jax.jit(_pk)
+        _JIT_META_PACK[key] = packer
+    meta = np.asarray(jax.device_get(packer(ptrs, oks, freqs, rlens)))
+    ptrs = meta[:NL]
+    oks = meta[NL:2 * NL]
+    freqs = meta[2 * NL:2 * NL + C * 256].reshape(C, 256)
+    rlens = meta[2 * NL + C * 256:]
     if not bool(oks.all()):
         raise ValueError(
             "model failure (CDF): chunk not encodable in ref-compat mode")
