@@ -434,8 +434,11 @@ def _step_call(LB: int, Lp: int, interpret: bool):
 
 
 def _pick_lb(Lp: int) -> int:
-    for lb in (_LB, 512, 256, 128):
-        if Lp % lb == 0:
+    import os
+
+    first = int(os.environ.get("JAMPACK_RANS_LB", _LB))
+    for lb in (first, _LB, 512, 256, 128):
+        if lb <= Lp and Lp % lb == 0:
             return lb
     return Lp
 
