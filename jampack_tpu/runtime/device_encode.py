@@ -276,6 +276,11 @@ def encode_block_device_lz(data: np.ndarray, opt: Options, engine=None):
     if opt.match_finder not in (0, 1, 2) or opt.filters not in (0, 1, 2):
         raise NotImplementedError(
             "host-LZ device encode supports match_finder 0/1/2")
+    if getattr(opt, "lpx_auto", False):
+        # the Lpx gate isn't plumbed through the device front core yet;
+        # raising here routes callers (encode_archive_sharded) to the
+        # host compress_block_ex fallback, which gates per block correctly
+        raise NotImplementedError("lpx_auto: host path gates per block")
     eng = engine
     if eng is None:  # the native finder when buildable, spec otherwise
         try:

@@ -201,6 +201,15 @@ def encode_archive_sharded(inp, out, opt, mesh: Mesh = None, engine=None,
             or opt.filters not in (0, 1, 2):
         raise NotImplementedError(
             "device encode supports match_finder 0-3 + filters 0/1/2")
+    if getattr(opt, "lpx_auto", False) and opt.match_finder == LZ_MODE_STORE:
+        # the m3 fused chain runs Lpx inside one device program, so the
+        # per-block gate decision isn't plumbed yet; refuse loudly rather
+        # than silently ignoring the flag (-S0 forces the skip explicitly,
+        # host engines honor -Sa fully, and the m0/1/2 fused path gates
+        # through its host fallback)
+        raise NotImplementedError(
+            "lpx_auto is not supported by the fused m3 encode path; "
+            "use -S0 (explicit skip) or a host engine")
     mesh = mesh or make_mesh()
     D = mesh.devices.size
     blocks = []

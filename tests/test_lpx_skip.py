@@ -186,3 +186,36 @@ def test_cli_auto_flag_roundtrip(tmp_path):
                 break
             spans.append(rec[0].lpx_spans)
     assert 0 in spans and 4 in spans
+
+
+def test_fused_archive_encode_auto_routes_to_host_gate(tmp_path):
+    """encode_archive_sharded must not silently drop -Sa: the m0 path
+    falls back to the host encoder (which gates per block), the m3 path
+    refuses loudly."""
+    import io
+
+    import pytest as _pytest
+
+    from jampack_tpu.runtime.sharding import encode_archive_sharded, make_mesh
+
+    mesh = make_mesh(1)
+    mb = 1 << 20
+    data = _records(mb).tobytes() + _random(mb).tobytes()
+    opt = Options(blocksize=mb, match_finder=0, filters=1, rans_lanes=4,
+                  ans_chunk=2048, anchor_units=16, lpx_spans=8,
+                  lpx_auto=True)
+    arc = io.BytesIO()
+    encode_archive_sharded(io.BytesIO(data), arc, opt, mesh)
+    arc.seek(0)
+    spans = []
+    while True:
+        rec = framing.read_block(arc, want_payload=False)
+        if rec is None:
+            break
+        spans.append(rec[0].lpx_spans)
+    assert 0 in spans and 8 in spans  # per-block gate took effect
+
+    sopt = Options(blocksize=mb, match_finder=3, filters=0, lpx_spans=8,
+                   lpx_auto=True)
+    with _pytest.raises(NotImplementedError, match="lpx_auto"):
+        encode_archive_sharded(io.BytesIO(data), io.BytesIO(), sopt, mesh)
