@@ -23,7 +23,6 @@ do-while MTF shift of at least one slot on retire, later-wins r2s
 seeding, bucket exhaustion order.
 """
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

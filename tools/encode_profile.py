@@ -45,7 +45,6 @@ def main():
     from jampack_tpu.format.constants import FILTER_BLOCK_SIZE, LZ_MIN_MATCH
     from jampack_tpu.kernels import encode_stages as es
     from jampack_tpu.kernels.lpx_tpu import _code_span
-    from jampack_tpu.kernels.rans_encode import rans_reverse_encode
     from jampack_tpu.kernels.rans_wide import model_pairs_wide
     from jampack_tpu.kernels.sa import bwt_from_prev_sorted, sa_doubling_core
     from jampack_tpu.stages.lz77 import write_token
