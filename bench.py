@@ -241,7 +241,7 @@ def _e2e_metrics(data: np.ndarray) -> dict:
         assert pay_a is not None, "auto encode unavailable"
         eblocks = [data] + [textlike(n, seed=s) for s in (1, 2, 3)]
         got = encode_blocks_device(eblocks, aopt)  # warmup + compile
-        assert got[0] == (crc_a, pay_a)
+        assert got[0][:2] == (crc_a, pay_a)
         out["encode_aggregate_b4_mbps"] = round(
             4 * n / 1e6 / _best_of(
                 lambda: encode_blocks_device(eblocks, aopt), trials=2), 2)

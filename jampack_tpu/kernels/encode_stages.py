@@ -362,12 +362,20 @@ def _entropy_dyn(s4, n4, *, chunk: int, lanes: int):
     return bufs, ptrs, oks, freqs, rlens
 
 
-def encode_front_core(s1: jnp.ndarray, n1, fconfigs, *, lpx_spans: int):
+def encode_front_core(s1: jnp.ndarray, n1, fconfigs, *, lpx_spans: int,
+                      lpx_auto: bool = False):
     """Filters + Lpx over a traced-length stage-1 buffer (the host-framed
-    [LZ tokens]): returns (s2 (cap2,) u8 zero-padded, n2, supported).
+    [LZ tokens]): returns (s2 (cap2,) u8 zero-padded, n2, supported,
+    lpx_kept).
 
     s1: (cap1,) u8 zero-padded past n1.  fconfigs: None (-f0 passthrough)
-    or (F_cap, 2) i32 picks, zeros past the actual chunk count."""
+    or (F_cap, 2) i32 picks, zeros past the actual chunk count.
+
+    lpx_auto runs the per-block Lpx gate ON DEVICE with the exact integer
+    arithmetic the host gate uses (pipeline._lpx_gain_gate): the stage
+    output is kept only when it zeroes >= NUM/DEN of the bytes; otherwise
+    the pre-Lpx buffer passes through and lpx_kept = False (callers frame
+    the block with spans=0)."""
     from ..format.constants import FILTER_BLOCK_SIZE
 
     FBS = FILTER_BLOCK_SIZE
@@ -395,12 +403,28 @@ def encode_front_core(s1: jnp.ndarray, n1, fconfigs, *, lpx_spans: int):
     if lpx_spans > 0:
         from .device_stages import lpx_dyn_core
 
-        s2, sup = lpx_dyn_core(s2, n2, s2.shape[0], decode=False,
-                               spans=lpx_spans)
+        s2l, sup = lpx_dyn_core(s2, n2, s2.shape[0], decode=False,
+                                spans=lpx_spans)
+        if lpx_auto:
+            from ..runtime.pipeline import (LPX_AUTO_GAIN_DEN,
+                                            LPX_AUTO_GAIN_NUM)
+
+            live = jnp.arange(s2.shape[0], dtype=jnp.int32) < n2
+            gained = (jnp.sum(((s2l == 0) & live).astype(jnp.int32))
+                      - jnp.sum(((s2 == 0) & live).astype(jnp.int32)))
+            # n2 < 2^24 and gained <= n2, so gained*DEN stays in int32
+            keep = gained * LPX_AUTO_GAIN_DEN >= n2 * LPX_AUTO_GAIN_NUM
+            s2 = jnp.where(keep, s2l, s2)
+            # a skipped stage has no span-layout constraint
+            sup = sup | jnp.logical_not(keep)
+        else:
+            s2 = s2l
+            keep = jnp.bool_(True)
     else:
         # spans == 0: Lpx stage skipped for this block (framing.py)
         sup = jnp.bool_(True)
-    return s2, n2, sup
+        keep = jnp.bool_(False)
+    return s2, n2, sup, keep
 
 
 def encode_back_core(s3: jnp.ndarray, n3, *, units: int, chunk: int,
@@ -430,23 +454,26 @@ def encode_back_core(s3: jnp.ndarray, n3, *, units: int, chunk: int,
     return _entropy_dyn(s4, n4, chunk=chunk, lanes=lanes)
 
 
-encode_front_jit = partial(jax.jit, static_argnames=("lpx_spans",))(
+encode_front_jit = partial(jax.jit, static_argnames=("lpx_spans",
+                                                     "lpx_auto"))(
     encode_front_core)
 encode_back_jit = partial(jax.jit, static_argnames=("units", "chunk",
                                                     "lanes"))(
     encode_back_core)
 
 
-@partial(jax.jit, static_argnames=("units", "chunk", "lanes", "lpx_spans"))
+@partial(jax.jit, static_argnames=("units", "chunk", "lanes", "lpx_spans",
+                                   "lpx_auto"))
 def encode_block_dyn_core(data: jnp.ndarray, n, fconfigs=None, *,
                           units: int, chunk: int, lanes: int,
-                          lpx_spans: int):
+                          lpx_spans: int, lpx_auto: bool = False):
     """encode_block_core with a TRACED block length over a static pow2
     capacity: the m3-store chain (both LZ stages emit the bare end
     token), compiled once per (capacity, stream-params) bucket.
 
     data: (cap,) u8 zero-padded past n.  Returns encode_block_core's
-    tuple plus the Lpx `supported` flag."""
+    tuple plus the Lpx `supported` and `lpx_kept` flags (lpx_kept False
+    when lpx_auto gated the stage off — frame the block with spans=0)."""
     from ..format.constants import LZ_MIN_MATCH
     from ..stages.lz77 import write_token
 
@@ -454,9 +481,10 @@ def encode_block_dyn_core(data: jnp.ndarray, n, fconfigs=None, *,
                         dtype=np.uint8)
     tokj = jnp.asarray(tok)
     s1 = jnp.concatenate([tokj, data])
-    s2, n2, sup = encode_front_core(s1, n + tok.size, fconfigs,
-                                    lpx_spans=lpx_spans)
+    s2, n2, sup, keep = encode_front_core(s1, n + tok.size, fconfigs,
+                                          lpx_spans=lpx_spans,
+                                          lpx_auto=lpx_auto)
     s3 = jnp.concatenate([tokj, s2])
     outs = encode_back_core(s3, n2 + tok.size, units=units, chunk=chunk,
                             lanes=lanes)
-    return outs + (sup,)
+    return outs + (sup, keep)

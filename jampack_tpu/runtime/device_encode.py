@@ -53,6 +53,21 @@ def _bucket_cap(n: int) -> int:
 
 def encode_block_device(data: np.ndarray, opt: Options):
     """Encode one block entirely on device; returns (crc, payload bytes).
+    opt.lpx_auto is refused here (the span choice must reach the framing
+    word) — use encode_block_device_ex."""
+    if getattr(opt, "lpx_auto", False):
+        raise ValueError(
+            "lpx_auto chooses per-block spans; use encode_block_device_ex")
+    crc, payload, _ = encode_block_device_ex(data, opt)
+    return crc, payload
+
+
+def encode_block_device_ex(data: np.ndarray, opt: Options):
+    """(crc, payload bytes, lpx_spans_used): the device mirror of
+    pipeline.compress_block_ex.  Under opt.lpx_auto the per-block Lpx
+    gate runs ON DEVICE inside the fused jit (encode_front_core) with the
+    host gate's exact integer arithmetic, so archives stay byte-identical
+    to the host encoder's per-block choices.
 
     Raises NotImplementedError for configurations whose encoders are
     host-only (real LZ match finding, filter search) — callers fall back
@@ -90,7 +105,11 @@ def encode_block_device(data: np.ndarray, opt: Options):
                        or (b == 0 and n2 > span_cap - 4))
     else:  # spans == 0: Lpx stage skipped — no span-layout constraint
         unsupported = False
+    auto = bool(getattr(opt, "lpx_auto", False))
     if unsupported:
+        if auto:
+            raise NotImplementedError(
+                "lpx_auto in the static-split Lpx corner: host path")
         # Lpx regimes the dyn core's (spans+1, out_cap//spans) layout
         # can't express — many pieces (> spans+1, only when
         # n2 < spans*(spans+1)) or a tiny single span longer than the
@@ -102,19 +121,25 @@ def encode_block_device(data: np.ndarray, opt: Options):
             jnp.asarray(data), None if fc is None else jnp.asarray(fc),
             n=n, units=units, chunk=chunk, lanes=lanes, lpx_spans=spans)
         return crc, _fetch_and_splice(bufs, ptrs, oks, freqs, rlens,
-                                      stage4_len(n, units), chunk, lanes)
+                                      stage4_len(n, units), chunk,
+                                      lanes), spans
     padded = np.zeros(cap, dtype=np.uint8)
     padded[:n] = data
     if fc is not None:
         fc_pad = np.zeros((f_cap, 2), dtype=np.int32)
         fc_pad[: fc.shape[0]] = fc
         fc = jnp.asarray(fc_pad)
-    bufs, ptrs, oks, freqs, rlens, sup = encode_block_dyn_core(
+    bufs, ptrs, oks, freqs, rlens, sup, keep = encode_block_dyn_core(
         jnp.asarray(padded), jnp.int32(n), fc, units=units, chunk=chunk,
-        lanes=lanes, lpx_spans=spans)
-    assert bool(sup)  # the static-split branch above covers the rest
+        lanes=lanes, lpx_spans=spans, lpx_auto=auto)
+    import jax
+
+    flags = np.asarray(jax.device_get(jnp.stack(
+        [sup.astype(jnp.int32), keep.astype(jnp.int32)])))
+    assert bool(flags[0])  # the static-split branch above covers the rest
     return crc, _fetch_and_splice(bufs, ptrs, oks, freqs, rlens,
-                                  stage4_len(n, units), chunk, lanes)
+                                  stage4_len(n, units), chunk, lanes), \
+        (spans if bool(flags[1]) else 0)
 
 
 _BATCH_ENC_JIT = {}
@@ -170,13 +195,15 @@ def encode_blocks_device(blocks, opt: Options):
             fc = filter_configs(blk, opt.filters)
             fcs[i, : fc.shape[0]] = fc
 
-    key = (len(blocks), cap, units, chunk, lanes, spans, fcs is not None)
+    auto = bool(getattr(opt, "lpx_auto", False))
+    key = (len(blocks), cap, units, chunk, lanes, spans, auto,
+           fcs is not None)
     fn = _BATCH_ENC_JIT.get(key)
     if fn is None:
         from functools import partial
 
         core = partial(encode_block_dyn_core, units=units, chunk=chunk,
-                       lanes=lanes, lpx_spans=spans)
+                       lanes=lanes, lpx_spans=spans, lpx_auto=auto)
 
         # lax.scan over the block axis, NOT vmap: a vmapped
         # sa_doubling_dyn_core makes XLA lay out the (B, cap) sort temps
@@ -199,15 +226,17 @@ def encode_blocks_device(blocks, opt: Options):
     nvec = jnp.full(len(blocks), n, jnp.int32)
     args = (jnp.asarray(padded), nvec) + (
         (jnp.asarray(fcs),) if fcs is not None else ())
-    bufs, ptrs, oks, freqs, rlens, sup = fn(*args)
-    assert bool(np.asarray(sup).all())
+    bufs, ptrs, oks, freqs, rlens, sup, keep = fn(*args)
+    flags = np.asarray(jax.device_get(jnp.stack(
+        [sup.astype(jnp.int32), keep.astype(jnp.int32)], axis=1)))
+    assert bool(flags[:, 0].all())
     out = []
     for i, blk in enumerate(blocks):
         crc = _checksum.integrity_check(blk)
         payload = _fetch_and_splice(bufs[i], ptrs[i], oks[i], freqs[i],
                                     rlens[i], stage4_len(n, units), chunk,
                                     lanes)
-        out.append((crc, payload))
+        out.append((crc, payload, spans if bool(flags[i, 1]) else 0))
     return out
 
 
@@ -315,8 +344,8 @@ def encode_block_device_lz(data: np.ndarray, opt: Options, engine=None):
         fc_pad[: fc.shape[0]] = fc
         fc = jnp.asarray(fc_pad)
     # stages 2+3 (device): filters + Lpx
-    s2, n2, sup = encode_front_jit(jnp.asarray(pad1), jnp.int32(n1), fc,
-                                   lpx_spans=spans)
+    s2, n2, sup, _keep = encode_front_jit(jnp.asarray(pad1), jnp.int32(n1),
+                                          fc, lpx_spans=spans)
     if not bool(sup):
         raise NotImplementedError(
             "Lpx span layout outside the device regime (tiny block)")

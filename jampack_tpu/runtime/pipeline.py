@@ -139,16 +139,21 @@ class Engine:
         return ans_decode(data, lanes=lanes)
 
 
-# Lpx auto-gate threshold: keep the stage only when it zeroes at least this
-# fraction of the block's bytes (zeros feed RLE0 directly, so zeros-gained
-# is the stage's whole downstream win).  Calibrated in round 4 against full
-# both-ways encodes on eight 2 MB corpora (tools/lpx_gate_calib.py):
-# kept corpora gain >= 0.28 zeros-fraction (logs: 2.98x smaller with Lpx
-# on); every gated-off corpus loses NOTHING by skipping — zeros and elf
-# archives actually shrink 6.5% / 0.5% without the stage.  The asymmetric
-# risk (skipping a big win) has margin 28x; the symmetric one (keeping a
-# tiny loss, records at +0.14%) mirrors the reference's always-on choice.
-LPX_AUTO_MIN_ZERO_GAIN = 0.01
+# Lpx auto-gate threshold: keep the stage only when it zeroes at least
+# NUM/DEN of the block's bytes (zeros feed RLE0 directly, so zeros-gained
+# is the stage's whole downstream win).  INTEGER arithmetic — the device
+# fused encode computes the same gate in int32 inside its jit
+# (encode_stages.encode_front_core), so the comparison must be exactly
+# shared.  Calibrated in round 4 against full both-ways encodes on eight
+# 2 MB corpora (tools/lpx_gate_calib.py): kept corpora gain >= 0.28
+# zeros-fraction (logs: 2.98x smaller with Lpx on); every gated-off corpus
+# loses NOTHING by skipping — zeros and elf archives actually shrink
+# 6.5% / 0.5% without the stage.  The asymmetric risk (skipping a big win)
+# has margin 28x; the symmetric one (keeping a tiny loss, records at
+# +0.14%) mirrors the reference's always-on choice.
+LPX_AUTO_GAIN_NUM = 1
+LPX_AUTO_GAIN_DEN = 100
+LPX_AUTO_MIN_ZERO_GAIN = LPX_AUTO_GAIN_NUM / LPX_AUTO_GAIN_DEN  # for display
 
 
 def _lpx_gain_gate(before: np.ndarray, after: np.ndarray) -> bool:
@@ -157,7 +162,7 @@ def _lpx_gain_gate(before: np.ndarray, after: np.ndarray) -> bool:
         return False
     gained = int(np.count_nonzero(after == 0)) - int(
         np.count_nonzero(before == 0))
-    return gained >= before.size * LPX_AUTO_MIN_ZERO_GAIN
+    return gained * LPX_AUTO_GAIN_DEN >= before.size * LPX_AUTO_GAIN_NUM
 
 
 def compress_block_ex(data: np.ndarray, opt: Options, engine=None):

@@ -201,15 +201,6 @@ def encode_archive_sharded(inp, out, opt, mesh: Mesh = None, engine=None,
             or opt.filters not in (0, 1, 2):
         raise NotImplementedError(
             "device encode supports match_finder 0-3 + filters 0/1/2")
-    if getattr(opt, "lpx_auto", False) and opt.match_finder == LZ_MODE_STORE:
-        # the m3 fused chain runs Lpx inside one device program, so the
-        # per-block gate decision isn't plumbed yet; refuse loudly rather
-        # than silently ignoring the flag (-S0 forces the skip explicitly,
-        # host engines honor -Sa fully, and the m0/1/2 fused path gates
-        # through its host fallback)
-        raise NotImplementedError(
-            "lpx_auto is not supported by the fused m3 encode path; "
-            "use -S0 (explicit skip) or a host engine")
     mesh = mesh or make_mesh()
     D = mesh.devices.size
     blocks = []
@@ -270,10 +261,19 @@ def encode_archive_sharded(inp, out, opt, mesh: Mesh = None, engine=None,
                 _tick(i)
 
     for n, idxs in by_len.items():
-        if len(idxs) == 1:
-            i = idxs[0]
-            crcs[i], payloads[i] = encode_block_device(blocks[i], opt)
-            _tick(i)
+        if len(idxs) == 1 or getattr(opt, "lpx_auto", False):
+            # single straggler, or lpx_auto: the per-block device path —
+            # under auto the Lpx gate runs ON DEVICE inside the fused jit
+            # (encode_front_core) and the span choice lands in the framing
+            # word per block.  (Mesh-parallel auto would need the keep
+            # flag plumbed through the shard_map step; per-block device
+            # execution is correct everywhere, just not mesh-concurrent.)
+            from .device_encode import encode_block_device_ex
+
+            for i in idxs:
+                crcs[i], payloads[i], spans_used[i] = \
+                    encode_block_device_ex(blocks[i], opt)
+                _tick(i)
             continue
         step = sharded_full_encode_step(mesh, n, units, chunk, lanes,
                                         int(opt.lpx_spans),

@@ -592,6 +592,7 @@ def test_batched_blocks_encode():
                       rans_lanes=4, ans_chunk=2048, anchor_units=8,
                       lpx_spans=16)
         got = encode_blocks_device(blocks, opt)
-        for (crc, payload), blk in zip(got, blocks):
+        for (crc, payload, spans), blk in zip(got, blocks):
             want = compress_block(blk, opt, Engine())
             assert (crc, payload) == want
+            assert spans == opt.lpx_spans

@@ -190,11 +190,10 @@ def test_cli_auto_flag_roundtrip(tmp_path):
 
 def test_fused_archive_encode_auto_routes_to_host_gate(tmp_path):
     """encode_archive_sharded must not silently drop -Sa: the m0 path
-    falls back to the host encoder (which gates per block), the m3 path
-    refuses loudly."""
+    falls back to the host encoder (which gates per block), and the m3
+    path runs the gate ON DEVICE per block (encode_front_core) with
+    byte-identical choices."""
     import io
-
-    import pytest as _pytest
 
     from jampack_tpu.runtime.sharding import encode_archive_sharded, make_mesh
 
@@ -215,7 +214,36 @@ def test_fused_archive_encode_auto_routes_to_host_gate(tmp_path):
         spans.append(rec[0].lpx_spans)
     assert 0 in spans and 8 in spans  # per-block gate took effect
 
-    sopt = Options(blocksize=mb, match_finder=3, filters=0, lpx_spans=8,
+    # m3: the DEVICE gate — whole archive must equal the host encoder's
+    sopt = Options(blocksize=mb, match_finder=3, filters=0, rans_lanes=4,
+                   ans_chunk=2048, anchor_units=16, lpx_spans=8,
                    lpx_auto=True)
-    with _pytest.raises(NotImplementedError, match="lpx_auto"):
-        encode_archive_sharded(io.BytesIO(data), io.BytesIO(), sopt, mesh)
+    darc = io.BytesIO()
+    encode_archive_sharded(io.BytesIO(data), darc, sopt, mesh)
+    harc = io.BytesIO()
+    compress_stream(io.BytesIO(data), harc, sopt, Engine())
+    assert darc.getvalue() == harc.getvalue()
+    darc.seek(0)
+    dspans = []
+    while True:
+        rec = framing.read_block(darc, want_payload=False)
+        if rec is None:
+            break
+        dspans.append(rec[0].lpx_spans)
+    assert 0 in dspans and 8 in dspans
+
+
+def test_device_gate_matches_host_gate():
+    """encode_block_device_ex under lpx_auto makes the SAME per-block
+    span choice and the SAME bytes as compress_block_ex (the gate is
+    shared integer arithmetic, host np vs device int32)."""
+    from jampack_tpu.runtime.device_encode import encode_block_device_ex
+
+    for gen in (_records, _random):
+        data = gen(200_000)
+        opt = Options(blocksize=1 << 20, match_finder=3, filters=1,
+                      rans_lanes=4, ans_chunk=2048, anchor_units=16,
+                      lpx_spans=8, lpx_auto=True)
+        got = encode_block_device_ex(data, opt)
+        want = compress_block_ex(data, opt, Engine())
+        assert got == want
