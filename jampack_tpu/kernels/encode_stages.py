@@ -192,9 +192,10 @@ def _filters_apply_rows(rows, plens, ftype, width):
 
 
 @partial(jax.jit, static_argnames=("n", "units", "chunk", "lanes",
-                                   "lpx_spans"))
+                                   "lpx_spans", "lpx_auto"))
 def encode_block_core(data: jnp.ndarray, fconfigs=None, *, n: int,
-                      units: int, chunk: int, lanes: int, lpx_spans: int):
+                      units: int, chunk: int, lanes: int, lpx_spans: int,
+                      lpx_auto: bool = False):
     """The whole per-block ENCODE chain, device-resident under one jit:
 
         LZ store framing -> filters -> Lpx -> LZ store framing
@@ -212,8 +213,11 @@ def encode_block_core(data: jnp.ndarray, fconfigs=None, *, n: int,
     data: (n,) uint8.  fconfigs: None for -f0 passthrough, else the
     (F, 2) i32 per-chunk (type, width) picks from the device filter
     search.  Returns (bufs (NL, 4*max_rlen+16) u8 payload buffers,
-    ptrs (NL,), oks (NL,), freqs (C, 256) i32, rlens (C,)) for the host
-    splicer — NL = C * max(lanes, 1) chains in chunk-major order.
+    ptrs (NL,), oks (NL,), freqs (C, 256) i32, rlens (C,), lpx_kept)
+    for the host splicer — NL = C * max(lanes, 1) chains in chunk-major
+    order.  lpx_auto runs the per-block Lpx gate on device with the host
+    gate's exact integer arithmetic (see encode_front_core); lpx_kept
+    False means frame the block with spans=0.
     """
     from ..format.constants import FILTER_BLOCK_SIZE, LZ_MIN_MATCH
     from ..stages.lz77 import write_token
@@ -264,7 +268,23 @@ def encode_block_core(data: jnp.ndarray, fconfigs=None, *, n: int,
             R, bspan)
         coded = jax.vmap(
             lambda s, ln: _code_span(s, ln, bspan, False))(rows2, lens)
-        s2 = coded.reshape(-1)[:n2]
+        s2l = coded.reshape(-1)[:n2]
+        if lpx_auto:
+            # per-block gate, same integer compare as the host encoder
+            # (pipeline._lpx_gain_gate) — see encode_front_core
+            from ..runtime.pipeline import (LPX_AUTO_GAIN_DEN,
+                                            LPX_AUTO_GAIN_NUM)
+
+            gained = (jnp.sum((s2l == 0).astype(jnp.int32))
+                      - jnp.sum((s2 == 0).astype(jnp.int32)))
+            lpx_kept = (gained * LPX_AUTO_GAIN_DEN
+                        >= jnp.int32(n2) * LPX_AUTO_GAIN_NUM)
+            s2 = jnp.where(lpx_kept, s2l, s2)
+        else:
+            s2 = s2l
+            lpx_kept = jnp.bool_(True)
+    else:
+        lpx_kept = jnp.bool_(False)
 
     # ---- 4. second LZ store framing
     s3 = jnp.concatenate([tokj, s2])
@@ -307,7 +327,7 @@ def encode_block_core(data: jnp.ndarray, fconfigs=None, *, n: int,
     # batched trip counts crashes the TPU worker — rans_encode.py docstring)
     lows, fqs2, oks = _model_pairs(chains, crlens, max_rlen)
     bufs, ptrs = rans_reverse_encode_wide(lows, fqs2, crlens, max_rlen)
-    return bufs, ptrs, oks, freqs, rlens
+    return bufs, ptrs, oks, freqs, rlens, lpx_kept
 
 
 def _model_pairs(chains, crlens, max_rlen):

@@ -117,7 +117,7 @@ def encode_block_device_ex(data: np.ndarray, opt: Options):
         # length, confined to this corner)
         from ..kernels.encode_stages import encode_block_core
 
-        bufs, ptrs, oks, freqs, rlens = encode_block_core(
+        bufs, ptrs, oks, freqs, rlens, _kept = encode_block_core(
             jnp.asarray(data), None if fc is None else jnp.asarray(fc),
             n=n, units=units, chunk=chunk, lanes=lanes, lpx_spans=spans)
         return crc, _fetch_and_splice(bufs, ptrs, oks, freqs, rlens,

@@ -136,7 +136,8 @@ def sharded_full_decode_step(mesh: Mesh, lanes: int, units: int, shapes,
 
 def sharded_full_encode_step(mesh: Mesh, n: int, units: int, chunk: int,
                              lanes: int, lpx_spans: int,
-                             with_filters: bool = False):
+                             with_filters: bool = False,
+                             lpx_auto: bool = False):
     """The multi-chip ENCODE mirror of sharded_full_decode_step: each
     device runs the entire per-block encode chain (LZ store framing ->
     filters -> Lpx -> forward BWT -> rank -> RLE0 -> reverse rANS) on its
@@ -144,28 +145,31 @@ def sharded_full_encode_step(mesh: Mesh, n: int, units: int, chunk: int,
     compress loop (jampack.cpp:215-219 running jampack.cpp:30-42 per
     instance).  One block per device per call; n is the (static) block
     length shared by the batch.  with_filters adds the per-block (F, 2)
-    filter-config operand (picks from the host-side device search)."""
+    filter-config operand (picks from the host-side device search).
+    lpx_auto runs the per-block Lpx gate on every device (the kept flag
+    comes back per block; frame spans=0 where False)."""
     from functools import partial as _partial
 
     from ..kernels.encode_stages import encode_block_core
 
     core = _partial(encode_block_core, n=n, units=units, chunk=chunk,
-                    lanes=lanes, lpx_spans=lpx_spans)
+                    lanes=lanes, lpx_spans=lpx_spans, lpx_auto=lpx_auto)
 
     if with_filters:
         def per_shard(blocks, fconfigs):
-            bufs, ptrs, oks, freqs, rlens = core(blocks[0], fconfigs[0])
+            bufs, ptrs, oks, freqs, rlens, kept = core(blocks[0],
+                                                       fconfigs[0])
             done = jax.lax.psum(jnp.int32(1), axis_name="data")
             return (bufs[None], ptrs[None], oks[None], freqs[None],
-                    rlens[None], done)
+                    rlens[None], kept[None], done)
 
         in_specs = (P("data", None), P("data", None, None))
     else:
         def per_shard(blocks):
-            bufs, ptrs, oks, freqs, rlens = core(blocks[0])
+            bufs, ptrs, oks, freqs, rlens, kept = core(blocks[0])
             done = jax.lax.psum(jnp.int32(1), axis_name="data")
             return (bufs[None], ptrs[None], oks[None], freqs[None],
-                    rlens[None], done)
+                    rlens[None], kept[None], done)
 
         in_specs = (P("data", None),)
 
@@ -175,7 +179,7 @@ def sharded_full_encode_step(mesh: Mesh, n: int, units: int, chunk: int,
             mesh,
             in_specs,
             (P("data", None, None), P("data", None), P("data", None),
-             P("data", None, None), P("data", None), P()),
+             P("data", None, None), P("data", None), P("data"), P()),
         )
     )
 
@@ -261,23 +265,22 @@ def encode_archive_sharded(inp, out, opt, mesh: Mesh = None, engine=None,
                 _tick(i)
 
     for n, idxs in by_len.items():
-        if len(idxs) == 1 or getattr(opt, "lpx_auto", False):
-            # single straggler, or lpx_auto: the per-block device path —
-            # under auto the Lpx gate runs ON DEVICE inside the fused jit
-            # (encode_front_core) and the span choice lands in the framing
-            # word per block.  (Mesh-parallel auto would need the keep
-            # flag plumbed through the shard_map step; per-block device
-            # execution is correct everywhere, just not mesh-concurrent.)
+        if len(idxs) == 1:
+            # single straggler: the per-block device path (under lpx_auto
+            # the gate runs on device inside the fused jit and the span
+            # choice lands in the framing word)
             from .device_encode import encode_block_device_ex
 
-            for i in idxs:
-                crcs[i], payloads[i], spans_used[i] = \
-                    encode_block_device_ex(blocks[i], opt)
-                _tick(i)
+            i = idxs[0]
+            crcs[i], payloads[i], spans_used[i] = \
+                encode_block_device_ex(blocks[i], opt)
+            _tick(i)
             continue
         step = sharded_full_encode_step(mesh, n, units, chunk, lanes,
                                         int(opt.lpx_spans),
-                                        with_filters=opt.filters > 0)
+                                        with_filters=opt.filters > 0,
+                                        lpx_auto=bool(
+                                            getattr(opt, "lpx_auto", False)))
         sharding1 = NamedSharding(mesh, P("data", None))
         sharding2 = NamedSharding(mesh, P("data", None, None))
         for b0 in range(0, len(idxs), D):
@@ -290,12 +293,13 @@ def encode_archive_sharded(inp, out, opt, mesh: Mesh = None, engine=None,
             args = [jax.device_put(np.stack(stack), sharding1)]
             if opt.filters > 0:
                 args.append(jax.device_put(np.stack(cfgs), sharding2))
-            bufs, ptrs, oks, freqs, rlens, _ = step(*args)
+            bufs, ptrs, oks, freqs, rlens, kepts, _ = step(*args)
             bufs = np.asarray(jax.device_get(bufs))
             ptrs = np.asarray(jax.device_get(ptrs))
             oks = np.asarray(jax.device_get(oks))
             freqs = np.asarray(jax.device_get(freqs))
             rlens = np.asarray(jax.device_get(rlens))
+            kepts = np.asarray(jax.device_get(kepts))
             for j, i in enumerate(batch):
                 if not bool(oks[j].all()):
                     raise ValueError("model failure (CDF): chunk not "
@@ -304,6 +308,7 @@ def encode_archive_sharded(inp, out, opt, mesh: Mesh = None, engine=None,
                 payloads[i] = splice_payload(
                     bufs[j], ptrs[j], freqs[j], rlens[j],
                     stage4_len(n, units), chunk, lanes)
+                spans_used[i] = int(opt.lpx_spans) if bool(kepts[j]) else 0
                 _tick(i)
 
     raw = comp = 0
