@@ -100,8 +100,13 @@ def _parse(argv):
     engine = "native"
     multiblock = True
     for arg in argv[4:]:
-        if arg.startswith("--engine"):
-            engine = arg.split("=", 1)[1] if "=" in arg else "native"
+        if arg.startswith("--"):
+            if arg.startswith("--engine"):
+                engine = arg.split("=", 1)[1] if "=" in arg else "native"
+            elif arg == "--verbose":
+                pass  # handled in run() via argv scan
+            else:
+                raise SystemExit(f"Unknown option: {arg}")
         elif arg.startswith("-") and len(arg) >= 2:
             p = arg[1:]
             while p:
@@ -112,12 +117,15 @@ def _parse(argv):
                     num += rest[0]
                     rest = rest[1:]
                 if c == "b" and num:
-                    opt = Options(blocksize=int(num) << 20,
-                                  match_finder=opt.match_finder,
-                                  filters=opt.filters,
-                                  anchor_units=opt.anchor_units,
-                                  ans_chunk=opt.ans_chunk,
-                                  rans_lanes=opt.rans_lanes)
+                    # mutate in place (with the Options clamp) so stream
+                    # parameters set by earlier flags — -S#/-Sa included —
+                    # survive regardless of flag order
+                    from .format.constants import (MAX_BLOCKSIZE,
+                                                   MIN_BLOCKSIZE)
+
+                    opt.blocksize = int(min(max(int(num) << 20,
+                                                MIN_BLOCKSIZE),
+                                            MAX_BLOCKSIZE))
                 elif c == "u" and num:
                     opt.anchor_units = int(num)  # native JTX container
                 elif c == "c" and num:
@@ -149,6 +157,13 @@ def _parse(argv):
                     threads = int(num)
                 elif c == "T":
                     multiblock = False
+                elif c == "v":
+                    pass  # -v verbose, handled in run() via argv scan
+                else:
+                    # unrecognized option character (e.g. the trailing 'a'
+                    # of '-S4a'): fail loudly instead of silently dropping
+                    raise SystemExit(f"Unknown option character "
+                                     f"'{c}' in {arg}")
                 p = rest
     opt.threads = threads
     opt.multiblock = multiblock

@@ -32,7 +32,13 @@ def _pack4(t32: jnp.ndarray, off: int, n: int) -> jnp.ndarray:
     return words
 
 
-_INIT_WORDS = 3  # initial sort covers k0 = 12 bytes (measured sweet spot)
+# initial sort covers k0 = 4*_INIT_WORDS bytes.  3 (k0=12) is the measured
+# sweet spot on chip: the r5 sweep (tools/init_words_sweep.py) measured the
+# forward at 8 MB; each extra packed word adds a sort operand whose cost
+# exceeds the rounds it saves on every corpus tried.  Env knob for sweeps.
+import os as _os
+
+_INIT_WORDS = int(_os.environ.get("JAMPACK_SA_INIT_WORDS", "3"))
 
 
 def _sa_doubling_sorted(t: jnp.ndarray, n: int):
@@ -143,8 +149,13 @@ def anchors_from_order(order: jnp.ndarray, units, step, idx0):
 
 
 def sa_doubling_anchors_core(t: jnp.ndarray, n: int, units: int):
-    """The forward transform's hot path: (bwt, anchors) with NO final ISA
-    sort — idx0 = argmin(order), anchors via anchors_from_order.
+    """(bwt, anchors) with NO final ISA sort — idx0 = argmin(order),
+    anchors via anchors_from_order.  NOT the production path: the variant
+    MEASURED SLOWER on chip than the full-ISA cores (see
+    anchors_from_order above; tools/anchor_probe.py, commit abb31bb) and
+    is kept only as the committed disproof of VERDICT r3 #7.  Production
+    callers use sa_doubling_core / the dyn cores, whose final 1-key ISA
+    sort costs 36 ms at 8.4M.
     Returns (bwt (n,) u8, anchors (units,) i32 = isa[u*step]+1)."""
     order, _, prev_sorted = _sa_doubling_sorted(t, n)
     idx0 = jnp.argmin(order)

@@ -195,13 +195,37 @@ def _jitted_batch_core(lanes, units, rmax, ocap, out_cap, max_tokens,
 
 
 def decode_blocks_device(payloads, crcs, blocksize: int, units: int = 120,
-                         lanes: int = 0, lpx_spans: int = 4):
-    """Decode B framed blocks in ONE batched device program on one chip
+                         lanes: int = 0, lpx_spans=4, _idx_map=None):
+    """Decode B framed blocks in batched device programs on one chip
     (the single-chip mirror of the reference's multi-block OpenMP loop,
     jampack.cpp:286-328): the latency-bound stages (rank MTF lockstep,
     rANS step, anchored chase) run all B blocks' lanes together, so their
-    per-step cost amortizes across the batch.  All blocks must share the
-    framed stream parameters.  Returns a list of decoded arrays."""
+    per-step cost amortizes across the batch.  units/lanes must be shared;
+    lpx_spans may be an int or a per-block sequence — -Sa auto-gated
+    archives mix spans=0 and spans=S blocks by design, and each span-word
+    group runs as its own batched program (the span count is a static jit
+    arg), so mixed archives stay on device.  Returns decoded arrays in
+    block order."""
+    spans_list = ([int(lpx_spans)] * len(payloads)
+                  if np.isscalar(lpx_spans) else [int(s) for s in lpx_spans])
+    if len(spans_list) != len(payloads):
+        raise ValueError("lpx_spans sequence length != block count")
+    if len(set(spans_list)) > 1:
+        by_spans = {}
+        for i, s in enumerate(spans_list):
+            by_spans.setdefault(s, []).append(i)
+        results = [None] * len(payloads)
+        for s, idxs in sorted(by_spans.items()):
+            got = decode_blocks_device(
+                [payloads[i] for i in idxs], [crcs[i] for i in idxs],
+                blocksize, units, lanes, s,
+                _idx_map=[(_idx_map or list(range(len(payloads))))[i]
+                          for i in idxs])
+            for i, g in zip(idxs, got):
+                results[i] = g
+        return results
+    lpx_spans = spans_list[0]
+    idx_map = _idx_map or list(range(len(payloads)))
     import jax
 
     import jax.numpy as jnp
@@ -252,10 +276,11 @@ def decode_blocks_device(payloads, crcs, blocksize: int, units: int = 120,
                                             lpx_spans))
             continue
         if not bool(status[i, 1]):
-            raise ValueError(f"device decode failed (corrupt block {i})")
+            raise ValueError(
+                f"device decode failed (corrupt block {idx_map[i]})")
         data = np.asarray(jax.device_get(outs[i, : int(status[i, 0])]))
         if _checksum.integrity_check(data) != (crc & 0xFFFFFFFF):
-            raise ValueError(f"detected corrupt block {i}")
+            raise ValueError(f"detected corrupt block {idx_map[i]}")
         results.append(data)
     return results
 

@@ -272,8 +272,15 @@ def encode_archive_sharded(inp, out, opt, mesh: Mesh = None, engine=None,
             from .device_encode import encode_block_device_ex
 
             i = idxs[0]
-            crcs[i], payloads[i], spans_used[i] = \
-                encode_block_device_ex(blocks[i], opt)
+            try:
+                crcs[i], payloads[i], spans_used[i] = \
+                    encode_block_device_ex(blocks[i], opt)
+            except NotImplementedError:
+                # host-only corner (e.g. lpx_auto in the static-split Lpx
+                # regime, device_encode.py): gate + encode on the host,
+                # byte-identically, like the tiny-tail path above
+                crcs[i], payloads[i], spans_used[i] = compress_block_ex(
+                    blocks[i], opt, engine or Engine())
             _tick(i)
             continue
         step = sharded_full_encode_step(mesh, n, units, chunk, lanes,
@@ -342,12 +349,14 @@ def decode_archive_sharded(inp, mesh: Mesh = None, progress=None):
         return b""
     units = recs[0][0].units
     lanes = recs[0][0].lanes
-    lpx_spans = recs[0][0].lpx_spans
     blocksize = max(r[0].blocksize for r in recs)
-    if any(r[0].units != units or r[0].lanes != lanes
-           or r[0].lpx_spans != lpx_spans for r in recs):
+    if any(r[0].units != units or r[0].lanes != lanes for r in recs):
         raise ValueError("mixed stream parameters in one archive")
-
+    # lpx_spans is PER BLOCK by design: the -Sa auto gate frames spans=0
+    # on blocks where the Lpx stage earns nothing and keeps the configured
+    # count elsewhere, so production archives mix span words.  Group
+    # blocks by span word (one jitted step per word — it's a static arg)
+    # and decode each group across the mesh; output stays in file order.
     metas = []
     for i, r in enumerate(recs):
         try:
@@ -355,16 +364,43 @@ def decode_archive_sharded(inp, mesh: Mesh = None, progress=None):
         except ValueError as e:  # attribute host-side parse failures
             raise ValueError(f"corrupt block {i}: {e}") from e
     shapes = plan_shapes(metas, [len(r[1]) for r in recs], blocksize, lanes)
-    step = sharded_full_decode_step(mesh, lanes, units, shapes, lpx_spans)
+    by_spans = {}
+    for i, r in enumerate(recs):
+        by_spans.setdefault(int(r[0].lpx_spans), []).append(i)
     sharding1 = NamedSharding(mesh, P("data", None))
     sharding2 = NamedSharding(mesh, P("data", None, None))
 
     out_parts = [None] * len(recs)
-    done_raw = done_comp = 0
-    for b0 in range(0, len(recs), D):
-        batch = list(range(b0, min(b0 + D, len(recs))))
+    done = [0, 0]  # cumulative (raw, comp) bytes across groups
+    for lpx_spans, idxs in sorted(by_spans.items()):
+        step = sharded_full_decode_step(mesh, lanes, units, shapes,
+                                        lpx_spans)
+        _decode_group_sharded(
+            step, idxs, recs, metas, shapes, D, sharding1, sharding2,
+            out_parts, progress, done)
+    return b"".join(out_parts)
+
+
+def _decode_group_sharded(step, idxs, recs, metas, shapes, D, sharding1,
+                          sharding2, out_parts, progress, done):
+    """Decode one span-word group of blocks across the mesh in batches of
+    mesh size, writing plaintext into out_parts at the blocks' archive
+    positions.  done = mutable cumulative (raw, comp) counters shared
+    across groups for the progress callback."""
+    from ..format import checksum as _checksum
+    from .device_decode import pack_meta
+
+    def _tick(i):
+        if progress is None:
+            return
+        done[0] += len(out_parts[i])
+        done[1] += recs[i][0].csize
+        progress(done[0], done[1])
+
+    for b0 in range(0, len(idxs), D):
+        batch = idxs[b0 : b0 + D]
         packed = [pack_meta(metas[i], recs[i][1], shapes) for i in batch]
-        while len(packed) < D:  # pad the final batch with block 0
+        while len(packed) < D:  # pad the final batch with the group head
             packed.append(packed[0])
         cols = list(zip(*packed))
         args = [
@@ -384,10 +420,7 @@ def decode_archive_sharded(inp, mesh: Mesh = None, progress=None):
                 from .device_decode import _host_fallback
 
                 out_parts[i] = _host_fallback(recs[i])
-                if progress is not None:
-                    done_raw += len(out_parts[i])
-                    done_comp += recs[i][0].csize
-                    progress(done_raw, done_comp)
+                _tick(i)
                 continue
             if not bool(oks[j]):
                 raise ValueError(
@@ -396,11 +429,7 @@ def decode_archive_sharded(inp, mesh: Mesh = None, progress=None):
             if _checksum.integrity_check(data) != (recs[i][0].crc & 0xFFFFFFFF):
                 raise ValueError(f"detected corrupt block {i}")
             out_parts[i] = data.tobytes()
-            if progress is not None:
-                done_raw += data.size
-                done_comp += recs[i][0].csize
-                progress(done_raw, done_comp)
-    return b"".join(out_parts)
+            _tick(i)
 
 
 def roundtrip_blocks(blocks: np.ndarray, mesh: Mesh = None):

@@ -93,3 +93,27 @@ def test_default_engine_is_native():
     exceeds the single-core BWT hybrid replaces)."""
     _, _, _, _, engine = _parse(["jam", "d", "a", "b"])
     assert engine == "native"
+
+
+def test_parse_b_preserves_span_flags():
+    """-b rebuilds nothing: stream parameters set by earlier flags (-S#,
+    -Sa) survive regardless of flag order (ADVICE r4 low)."""
+    _, _, _, opt, _ = _parse(["jam", "c", "a", "b", "-Sa", "-S8", "-b16"])
+    assert opt.blocksize == 16 << 20
+    assert opt.lpx_spans == 8 and opt.lpx_auto is True
+    _, _, _, opt, _ = _parse(["jam", "c", "a", "b", "-b16", "-S0"])
+    assert opt.blocksize == 16 << 20 and opt.lpx_spans == 0
+
+
+def test_parse_rejects_unknown_flags():
+    """Unrecognized option characters fail loudly instead of being
+    silently dropped ('-S4a' used to discard the trailing 'a')."""
+    with pytest.raises(SystemExit):
+        _parse(["jam", "c", "a", "b", "-S4a"])
+    with pytest.raises(SystemExit):
+        _parse(["jam", "c", "a", "b", "-x3"])
+    with pytest.raises(SystemExit):
+        _parse(["jam", "c", "a", "b", "--frobnicate"])
+    # -v / --verbose stay accepted (handled in run())
+    _parse(["jam", "c", "a", "b", "-v"])
+    _parse(["jam", "c", "a", "b", "--verbose"])

@@ -596,3 +596,75 @@ def test_batched_blocks_encode():
             want = compress_block(blk, opt, Engine())
             assert (crc, payload) == want
             assert spans == opt.lpx_spans
+
+
+def test_batched_blocks_decode_mixed_spans():
+    """-Sa auto-gated archives mix spans=0 and spans=S blocks by design
+    (VERDICT r4 #6): decode_blocks_device groups blocks by span word and
+    runs each group as its own batched device program, so mixed archives
+    never fall back to the host."""
+    from jampack_tpu.runtime.device_decode import decode_blocks_device
+
+    spans_per_block = [8, 0, 8, 0]
+    blocks = [_corpus(int(RNG.integers(4000, 12000)))
+              for _ in spans_per_block]
+    crcs, payloads = [], []
+    for b, s in zip(blocks, spans_per_block):
+        opt = Options(blocksize=1 << 20, filters=1, match_finder=0,
+                      rans_lanes=4, ans_chunk=2048, anchor_units=16,
+                      lpx_spans=s)
+        crc, payload = compress_block(b, opt, Engine())
+        crcs.append(crc)
+        payloads.append(payload)
+    outs = decode_blocks_device(payloads, crcs, 1 << 20, 16, 4,
+                                spans_per_block)
+    for got, want in zip(outs, blocks):
+        assert np.array_equal(got, want)
+
+
+def test_batched_blocks_decode_mixed_spans_corrupt_names_block():
+    """The corrupt-block error index stays the CALLER's block index even
+    when span grouping reorders the device batches."""
+    from jampack_tpu.runtime.device_decode import decode_blocks_device
+
+    spans_per_block = [8, 0, 8]
+    blocks = [_corpus(6000) for _ in spans_per_block]
+    crcs, payloads = [], []
+    for b, s in zip(blocks, spans_per_block):
+        opt = Options(blocksize=1 << 20, filters=1, match_finder=0,
+                      rans_lanes=4, ans_chunk=2048, anchor_units=16,
+                      lpx_spans=s)
+        crc, payload = compress_block(b, opt, Engine())
+        crcs.append(crc)
+        payloads.append(payload)
+    bad = bytearray(payloads[2])
+    bad[len(bad) // 2] ^= 0x40
+    payloads[2] = bytes(bad)
+    with pytest.raises(ValueError, match="block 2"):
+        decode_blocks_device(payloads, crcs, 1 << 20, 16, 4,
+                             spans_per_block)
+
+
+def test_sharded_archive_decode_mixed_spans():
+    """decode_archive_sharded reads -Sa-style archives whose blocks carry
+    different span words (ADVICE r4 high): blocks group by span word, one
+    sharded step per word, output in file order."""
+    from jampack_tpu.format import framing
+    from jampack_tpu.runtime.sharding import (decode_archive_sharded,
+                                              make_mesh)
+
+    n_dev = len(jax.devices())
+    spans_per_block = [8, 0] * ((n_dev + 2) // 2 + 1)
+    spans_per_block = spans_per_block[: n_dev + 2]
+    blocks = [_corpus(int(RNG.integers(4000, 12000)))
+              for _ in spans_per_block]
+    arc = io.BytesIO()
+    for b, s in zip(blocks, spans_per_block):
+        opt = Options(blocksize=1 << 20, filters=1, match_finder=0,
+                      rans_lanes=4, ans_chunk=2048, anchor_units=16,
+                      lpx_spans=s)
+        crc, payload = compress_block(b, opt, Engine())
+        framing.write_block(arc, crc, payload, opt.blocksize,
+                            opt.anchor_units, opt.rans_lanes, s)
+    got = decode_archive_sharded(io.BytesIO(arc.getvalue()), make_mesh(n_dev))
+    assert got == b"".join(x.tobytes() for x in blocks)

@@ -30,3 +30,50 @@ def test_graft_entry():
     out = fn(*args)
     assert np.array_equal(np.asarray(out[0]), args[0])
     g.dryrun_multichip(8)
+
+
+def test_encode_archive_sharded_straggler_auto_static_corner():
+    """A single straggler block under lpx_auto in the static-split Lpx
+    corner (device_encode raises NotImplementedError) must fall back to
+    the host gate instead of crashing the archive encode (ADVICE r4
+    medium).  n=4096 with spans=96 hits the corner (n2 remainder > span
+    base length); two blocks of different lengths make each a
+    single-straggler group."""
+    import io
+
+    import numpy as np
+
+    from jampack_tpu.format import framing
+    from jampack_tpu.runtime.pipeline import (Engine, Options,
+                                              compress_stream)
+    from jampack_tpu.runtime.sharding import (decode_archive_sharded,
+                                              encode_archive_sharded,
+                                              make_mesh)
+
+    rng = np.random.default_rng(11)
+    blocks = [rng.integers(0, 8, 4096).astype(np.uint8),
+              rng.integers(0, 8, 2048).astype(np.uint8)]
+
+    class _Chunked:
+        def __init__(self, parts):
+            self.parts = list(parts)
+            self.i = 0
+
+        def read(self, _sz):
+            if self.i >= len(self.parts):
+                return b""
+            p = self.parts[self.i]
+            self.i += 1
+            return p.tobytes()
+
+    opt = Options(blocksize=1 << 20, filters=0, match_finder=3,
+                  rans_lanes=4, ans_chunk=2048, anchor_units=16,
+                  lpx_spans=96, lpx_auto=True)
+    mesh = make_mesh()
+    arc = io.BytesIO()
+    encode_archive_sharded(_Chunked(blocks), arc, opt, mesh)
+    harc = io.BytesIO()
+    compress_stream(_Chunked(blocks), harc, opt, engine=Engine())
+    assert arc.getvalue() == harc.getvalue()
+    plain = b"".join(b.tobytes() for b in blocks)
+    assert decode_archive_sharded(io.BytesIO(arc.getvalue()), mesh) == plain
