@@ -166,7 +166,15 @@ def rank_decode_core(ranks: jnp.ndarray, freqs: jnp.ndarray,
     l_idx = jnp.arange(L)
     r2s, bucket, bucket_end, unique, sym, total = rank_setup_core(ranks, freqs)
     ok = (total == jnp.maximum(olens, 0))
-    out = jnp.zeros((L, out_cap), jnp.uint8)
+    # step-major output slab: the per-step emit is then a CONTIGUOUS row
+    # dynamic_update_slice instead of an L-strided column write into
+    # (L, out_cap); one u8 transpose at the end pays it back (the wide
+    # rANS kernel's slab-write lesson, measured on chip r5)
+    import os as _os
+
+    twrite = _os.environ.get("JAMPACK_RANK_TWRITE", "1") == "1"
+    out = (jnp.zeros((out_cap, L), jnp.uint8) if twrite
+           else jnp.zeros((L, out_cap), jnp.uint8))
     # r2s holds symbols (< 256): uint8 quarters the (L, 256) stream traffic
     # of the per-step shift/select passes, which dominate this loop's wall
     r2s = r2s.astype(jnp.uint8)
@@ -182,7 +190,10 @@ def rank_decode_core(ranks: jnp.ndarray, freqs: jnp.ndarray,
     def body(i, carry):
         r2s, bucket, unique, sym, out = carry
         active = i < olens
-        out = out.at[:, i].set(jnp.where(active, sym, out[:, i]))
+        if twrite:
+            out = out.at[i].set(jnp.where(active, sym, out[i]))
+        else:
+            out = out.at[:, i].set(jnp.where(active, sym, out[:, i]))
         # NO per-step gathers or scatters (measured pattern from the wide
         # rANS kernel: a (L,) random gather/scatter costs more than a
         # (L, 256) masked pass at wide L): the per-symbol bucket reads are
@@ -218,6 +229,8 @@ def rank_decode_core(ranks: jnp.ndarray, freqs: jnp.ndarray,
     _, _, _, _, out = jax.lax.fori_loop(
         0, steps, body, (r2s, bucket, unique, sym.astype(jnp.uint8), out)
     )
+    if twrite:
+        out = out.T
     return out, ok | (olens <= 0)
 
 
@@ -426,16 +439,22 @@ def filters_decode_dyn_core(buf: jnp.ndarray, m, out_cap: int):
     k = jnp.arange(FMAX, dtype=jnp.int32)
     hdr = k * (_FBS + 2)
     have = hdr < m
-    ftype = jnp.where(have, buf[jnp.clip(hdr, 0, N - 1)], 0).astype(jnp.int32)
-    width = jnp.where(have, buf[jnp.clip(hdr + 1, 0, N - 1)], 0).astype(jnp.int32)
+    # chunk k occupies the CONTIGUOUS bytes [k*(FBS+2), (k+1)*(FBS+2)):
+    # pad + reshape instead of an (FMAX, FBS) index gather — the gather
+    # spelling paid the ~86M elem/s wall (~100 ms per 8 MB) for what is a
+    # fixed-stride layout (CLAUDE.md iota-gather anti-pattern)
+    need = FMAX * (_FBS + 2)
+    bp = (jnp.pad(buf, (0, need - N)) if need > N else buf[:need]).reshape(
+        FMAX, _FBS + 2)
+    ftype = jnp.where(have, bp[:, 0], 0).astype(jnp.int32)
+    width = jnp.where(have, bp[:, 1], 0).astype(jnp.int32)
     plen = jnp.where(have, jnp.minimum(_FBS, m - hdr - 2), 0)
     ok = ~jnp.any(have & ((ftype >= 3) | (width > 32) | (m - hdr < 2)))
 
     j = jnp.arange(_FBS, dtype=jnp.int32)
     jj = j[None, :]
-    gidx = jnp.clip(hdr[:, None] + 2 + jj, 0, N - 1)
     inb = jj < plen[:, None]
-    C = jnp.where(inb, buf[gidx], 0).astype(jnp.int32)  # (FMAX, FBS)
+    C = jnp.where(inb, bp[:, 2:], 0).astype(jnp.int32)  # (FMAX, FBS)
 
     w = jnp.maximum(width, 1)[:, None]
     L = plen[:, None]
@@ -489,7 +508,6 @@ def filters_decode_dyn_core(buf: jnp.ndarray, m, out_cap: int):
         for p2k in range(17):  # 2^17 > FBS
             shift = w << p2k
             can = jj - shift >= align
-            rolled = jnp.pad(acc, ((0, 0), (0, _FBS)))  # safe shifted gather
             idxs = jnp.clip(jj - shift, 0, _FBS - 1)
             add = jnp.where(can, jnp.take_along_axis(acc, idxs, axis=1), 0)
             acc = acc + add
@@ -616,8 +634,11 @@ def ibwt_dyn_core(buf: jnp.ndarray, total, units: int, out_cap: int):
         (anchors >= 1) & (anchors <= jnp.maximum(nlen, 1)) | (nlen == 0))
 
     pos = jnp.arange(out_cap, dtype=jnp.int32)
-    keys = jnp.where(pos < nlen, buf[jnp.clip(pos, 0, N - 1)].astype(jnp.int32),
-                     jnp.int32(0x1FF))
+    # buf[pos] with pos = iota is a SLICE, not a gather: the clip-gather
+    # spelling pays the ~86M elem/s gather wall (~100 ms per 8 MB here,
+    # CLAUDE.md iota-gather anti-pattern) for what is a contiguous read
+    bv = buf[:out_cap] if N >= out_cap else jnp.pad(buf, (0, out_cap - N))
+    keys = jnp.where(pos < nlen, bv.astype(jnp.int32), jnp.int32(0x1FF))
     sorted_keys, order = jax.lax.sort((keys, pos), num_keys=1, is_stable=True)
     idx = anchors[0]
     lf = order + (order >= idx).astype(jnp.int32)
@@ -675,8 +696,7 @@ def ibwt_dyn_core(buf: jnp.ndarray, total, units: int, out_cap: int):
         uu = jnp.where(step > 0, pos // jnp.maximum(step, 1), 0)
         body_bytes = chunk.reshape(-1)[
             jnp.clip(s * units + uu, 0, step_cap * units - 1)]
-    out = jnp.where(pos < nlen, body_bytes,
-                    jnp.where(pos < n, buf[jnp.clip(pos, 0, N - 1)], 0))
+    out = jnp.where(pos < nlen, body_bytes, jnp.where(pos < n, bv, 0))
     return out.astype(jnp.uint8), jnp.maximum(n, 0), ok
 
 

@@ -106,12 +106,21 @@ def rank_encode_core(chunks: jnp.ndarray, olens: jnp.ndarray):
         jnp.broadcast_to(lane, (L, 256)), sorted_sym
     ].set(jnp.where(has, base, 0))
 
-    out = jnp.full((L, OCAP), jnp.uint32(0xFFFFFFFF))
+    # step-major output slab (row DUS per step + one transpose at the end
+    # beats OCAP L-strided column writes — rank_decode_core's measured
+    # trade, shared default via JAMPACK_RANK_TWRITE)
+    import os as _os
+
+    twrite = _os.environ.get("JAMPACK_RANK_TWRITE", "1") == "1"
+    out = jnp.full((OCAP, L) if twrite else (L, OCAP),
+                   jnp.uint32(0xFFFFFFFF))
+    # per-step input reads are rows of the transposed slab too
+    chunks_t = chunks.T if twrite else None
 
     def body(i, carry):
         r2s, bucket, out = carry
         active = i < olens
-        sym = chunks[:, i]
+        sym = chunks_t[i] if twrite else chunks[:, i]
         oh = cols[None, :] == sym.astype(jnp.int32)[:, None]  # (L, 256)
         # NO per-step gathers or scatters (same measured trade as
         # rank_decode_core): rank and bucket position are one-hot
@@ -124,7 +133,7 @@ def rank_encode_core(chunks: jnp.ndarray, olens: jnp.ndarray):
             active,
             (bpos.astype(jnp.uint32) << 8) | rank.astype(jnp.uint32),
             jnp.uint32(0xFFFFFFFF))
-        out = out.at[:, i].set(packed)
+        out = out.at[i].set(packed) if twrite else out.at[:, i].set(packed)
         # move-to-front: entries [1, rank] take their left neighbour,
         # entry 0 takes sym (rank.cpp:66-73; rank == 0 is a no-op)
         shifted = jnp.concatenate([r2s[:, :1], r2s[:, :-1]], axis=1)
@@ -136,6 +145,8 @@ def rank_encode_core(chunks: jnp.ndarray, olens: jnp.ndarray):
 
     steps = jnp.minimum(jnp.maximum(jnp.max(olens), 0), OCAP)
     _, _, out = jax.lax.fori_loop(0, steps, body, (r2s, bucket, out))
+    if twrite:
+        out = out.T
     # the bucketed layout = ranks ordered by their packed positions; the
     # 0xFFFFFFFF padding sentinels sort last and are masked off
     ordered = jax.lax.sort(out, dimension=1)

@@ -93,3 +93,73 @@ def device_trace(logdir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def fused_decode_compute_wall(payload: bytes, blocksize: int, units: int,
+                              lanes: int, lpx_spans: int,
+                              trials: int = 3) -> float:
+    """Best-of-trials DEVICE-COMPUTE wall of the fused block decode: every
+    input staged on device OUTSIDE the timed region, sync on a device-side
+    scalar slice (CLAUDE.md tunnel discipline).  This is the number a
+    PCIe/ICI-attached deployment would see; the e2e wrapper additionally
+    pays the host link (reference counterpart: bwt.cpp times the kernel,
+    not the copy — VERDICT r4 #3)."""
+    import time
+
+    import jax
+    import numpy as np
+
+    from .device_decode import (_jitted_core, _pay_to_device, block_meta,
+                                pack_meta, plan_shapes)
+
+    meta = block_meta(payload, lanes)
+    shapes = plan_shapes([meta], [len(payload)], blocksize, lanes)
+    packed = pack_meta(meta, payload, shapes)
+    fn = _jitted_core(lanes, units, shapes["rmax"], shapes["ocap"],
+                      shapes["out_cap"], shapes["max_tokens"], lpx_spans)
+    pay = _pay_to_device(payload, shapes["pcap"])
+    args = [jax.device_put(a) for a in packed[1:]]
+    out, _, _, _ = fn(pay, *args)  # warmup/compile
+    np.asarray(out.ravel()[0])
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.time()
+        out, _, _, _ = fn(pay, *args)
+        np.asarray(out.ravel()[0])
+        best = min(best, time.time() - t0)
+    return best
+
+
+def fused_encode_compute_wall(data, opt, trials: int = 3) -> float:
+    """Best-of-trials DEVICE-COMPUTE wall of the fused block encode
+    (m3/f0 static-span config): padded input staged on device outside the
+    timed region; the metadata fetch + splice (host/transfer work) is
+    excluded.  Mirror of fused_decode_compute_wall."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..kernels.encode_stages import encode_block_dyn_core
+    from .device_encode import _bucket_cap
+
+    data = np.asarray(data, dtype=np.uint8)
+    n = int(data.size)
+    cap = _bucket_cap(n)
+    padded = np.zeros(cap, np.uint8)
+    padded[:n] = data
+    dev = jax.device_put(jnp.asarray(padded))
+    nn = jnp.int32(n)
+    kw = dict(units=int(opt.anchor_units), chunk=int(opt.ans_chunk),
+              lanes=int(opt.rans_lanes), lpx_spans=int(opt.lpx_spans),
+              lpx_auto=False)
+    outs = encode_block_dyn_core(dev, nn, None, **kw)  # warmup/compile
+    np.asarray(outs[0].ravel()[0])
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.time()
+        outs = encode_block_dyn_core(dev, nn, None, **kw)
+        np.asarray(outs[0].ravel()[0])
+        best = min(best, time.time() - t0)
+    return best

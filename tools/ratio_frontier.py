@@ -141,6 +141,19 @@ def _sync(x):
     return int(np.asarray(x.ravel()[0]))
 
 
+def _decode_compute(payload, blocksize, units, lanes, spans):
+    from jampack_tpu.runtime.metrics import fused_decode_compute_wall
+
+    return fused_decode_compute_wall(payload, blocksize, units, lanes,
+                                     spans)
+
+
+def _encode_compute(data, opt):
+    from jampack_tpu.runtime.metrics import fused_encode_compute_wall
+
+    return fused_encode_compute_wall(data, opt)
+
+
 def speed(mb: int, configs=None):
     import jax
 
@@ -152,22 +165,29 @@ def speed(mb: int, configs=None):
     n = (mb << 20) - ((mb << 20) % (120 * 16))
     data = textlike(n)
     ne = NativeEngine()
-    configs = configs or [(8 << 10, 16), (64 << 10, 16), (64 << 10, 64),
-                          (64 << 10, 128), (256 << 10, 128),
-                          (256 << 10, 256), (1 << 20, 256)]
+    # candidates informed by the sizes decomposition: the body cost is
+    # ~45 B of model warmup PER CHAIN (chunks x lanes), so speed must be
+    # bought with as few chains as hold the wall; rank's serial steps =
+    # chunk bytes cap the chunk size
+    configs = configs or [(8 << 10, 16), (8 << 10, 4), (8 << 10, 2),
+                          (8 << 10, 0), (16 << 10, 4), (16 << 10, 8),
+                          (64 << 10, 16)]
     print(f"{'chunk':>6s} {'lanes':>5s} {'bytes':>9s} {'dec(s)':>7s} "
-          f"{'dGB/s':>7s} {'enc(s)':>7s} {'eMB/s':>7s}")
+          f"{'dGB/s':>7s} {'dcmp(s)':>7s} {'enc(s)':>7s} {'eMB/s':>7s} "
+          f"{'ecmp(s)':>7s}")
     results = []
     for chunk, lanes in configs:
         opt = _opt(chunk, lanes, mb=mb)
         crc, payload, su = compress_block_ex(data, opt, ne)
-        # decode: warmup + best-of-3
+        # decode: warmup + best-of-3 (e2e incl transfers, then compute)
         back = decode_block_device(payload, crc, opt.blocksize,
                                    opt.anchor_units, opt.rans_lanes, su)
         assert np.array_equal(back, data)
         td = min(_timed(lambda: decode_block_device(
             payload, crc, opt.blocksize, opt.anchor_units, opt.rans_lanes,
             su)) for _ in range(3))
+        tdc = _decode_compute(payload, opt.blocksize, opt.anchor_units,
+                              opt.rans_lanes, su)
         # encode (m3 store config, the fused-encode bench mode)
         eopt = Options(blocksize=n, filters=0, match_finder=3,
                        rans_lanes=lanes, ans_chunk=chunk, anchor_units=960,
@@ -178,20 +198,25 @@ def speed(mb: int, configs=None):
             assert (crc_e, pay_e) == (ch, ph)
             te = min(_timed(lambda: encode_block_device(data, eopt))
                      for _ in range(3))
+            tec = _encode_compute(data, eopt)
         except Exception as e:  # noqa: BLE001
-            te = None
+            te = tec = None
             print(f"  encode error: {e}")
         row = {"chunk": chunk, "lanes": lanes, "bytes": len(payload),
                "dec_s": round(td, 3), "dec_gbps": round(n / 1e9 / td, 5),
+               "dec_compute_s": round(tdc, 3),
                "enc_s": None if te is None else round(te, 3),
-               "enc_mbps": None if te is None else round(n / 1e6 / te, 2)}
+               "enc_mbps": None if te is None else round(n / 1e6 / te, 2),
+               "enc_compute_s": None if tec is None else round(tec, 3)}
         results.append(row)
         es = "-" if te is None else f"{te:7.2f}"
         ems = "-" if te is None else f"{row['enc_mbps']:7.2f}"
+        ecs = "-" if tec is None else f"{tec:7.2f}"
         print(f"{chunk >> 10:>5d}K {lanes:>5d} {len(payload):>9,} "
-              f"{td:>7.2f} {row['dec_gbps']:>7.5f} {es:>7s} {ems:>7s}")
-    with open("build/ratio_frontier_speed.json", "w") as f:
-        json.dump({"mb": mb, "rows": results}, f)
+              f"{td:>7.2f} {row['dec_gbps']:>7.5f} {tdc:>7.2f} {es:>7s} "
+              f"{ems:>7s} {ecs:>7s}")
+        with open("build/ratio_frontier_speed.json", "w") as f:
+            json.dump({"mb": mb, "rows": results}, f)
     print("written: build/ratio_frontier_speed.json")
 
 
