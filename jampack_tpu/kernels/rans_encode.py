@@ -184,14 +184,23 @@ def rans_reverse_encode_wide(lows: jnp.ndarray, fqs: jnp.ndarray,
     R = jnp.full((L, 4), RANS_BYTE_L, dtype=jnp.uint32)
     ptr = jnp.full(L, size, jnp.int32)
     nops = 2 * rlens                                  # (L,)
-    recs = jnp.full((L, scap), jnp.uint32(0xFFFFFFFF))
-    pairs = lows.astype(jnp.uint32) | (fqs.astype(jnp.uint32) << 16)
+    # step-major emission slab + transposed pair reads: the loop walks a
+    # COMMON op index k DESCENDING from max(nops)-1 (every lane's reverse
+    # order is just descending k, lanes with fewer ops activate late), so
+    # the per-step pair fetch is a uniform ROW read of pairs_t — the old
+    # form paid a per-step (L,) take_along_axis gather plus an L-strided
+    # (L, 2) column write into (L, scap) (r5 slab-write lesson).
+    recs_t = jnp.full((scap, L), jnp.uint32(0xFFFFFFFF))
+    pairs_t = (lows.astype(jnp.uint32)
+               | (fqs.astype(jnp.uint32) << 16)).T    # (ncap, L)
 
-    def body(k, carry):
-        R, recs, ptr = carry
+    steps = jnp.minimum(jnp.maximum(jnp.max(nops), 0), ncap)
+
+    def body(kp, carry):
+        R, recs_t, ptr = carry
+        k = steps - 1 - kp                            # common op index
         active = k < nops
-        i = jnp.clip(nops - 1 - k, 0, ncap - 1)
-        pf = jnp.take_along_axis(pairs, i[:, None], axis=1)[:, 0]
+        pf = pairs_t[jnp.clip(k, 0, ncap - 1)]        # (L,) row read
         fq = jnp.maximum(pf >> 16, 1)                 # inactive lanes: inert
         lo = pf & jnp.uint32(0xFFFF)
         x = R[:, 3]
@@ -207,17 +216,17 @@ def rans_reverse_encode_wide(lows: jnp.ndarray, fqs: jnp.ndarray,
         # still or its flush order scrambles
         rot = jnp.concatenate([x2[:, None], R[:, :3]], axis=1)
         R = jnp.where(active[:, None], rot, R)
-        su = jnp.uint32(2 * k)
+        su = (2 * kp).astype(jnp.uint32)              # ascends with emission
         rv = jnp.stack([
             jnp.where(need0, (su << 8) | b0, jnp.uint32(0xFFFFFFFF)),
             jnp.where(need1, ((su + 1) << 8) | b1, jnp.uint32(0xFFFFFFFF)),
-        ], axis=1)                                    # (L, 2)
-        recs = jax.lax.dynamic_update_slice(recs, rv, (0, 2 * k))
+        ], axis=0)                                    # (2, L)
+        recs_t = jax.lax.dynamic_update_slice(recs_t, rv, (2 * kp, 0))
         ptr = ptr - need0.astype(jnp.int32) - need1.astype(jnp.int32)
-        return R, recs, ptr
+        return R, recs_t, ptr
 
-    steps = jnp.minimum(jnp.maximum(jnp.max(nops), 0), ncap)
-    R, recs, ptr = jax.lax.fori_loop(0, steps, body, (R, recs, ptr))
+    R, recs_t, ptr = jax.lax.fori_loop(0, steps, body, (R, recs_t, ptr))
+    recs = recs_t.T
 
     # flush R3..R0 little-endian (rans_byte.hpp:98-110): emission order is
     # descending addresses, so R3's MSB first; static tail slots
