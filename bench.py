@@ -38,12 +38,16 @@ REF_BWT_COMBINED_GBPS = 0.0158
 JAM_TEXT_BYTES = 5_212_192
 
 # The production JT3 native-stream parameters priced by the fused e2e
-# keys.  Chosen on the ratio x speed frontier (tools/ratio_frontier.py,
-# BASELINE.md round-5 table): the body cost of the stream is ~45 B of
-# model-warmup loss PER lockstep chain (chunks x lanes) plus ~292 B of
-# chunk header per chunk, so speed is bought with as few chains as hold
-# the wall.  ans_chunk also caps the rank stage's serial step count.
-PROD_CHUNK = 8 << 10
+# keys.  Chosen on the measured ratio x speed frontier
+# (tools/ratio_frontier.py --sizes/--speed; BASELINE.md round-5 table):
+# device decode compute is FLAT (0.80-0.85 s) from 8K x 16 chains down
+# to the 4-state stream, so the r4 config's +19.4% compressed-size cost
+# bought nothing — the stream's body cost is ~45 B of model-warmup loss
+# PER lockstep chain (chunks x lanes) + ~292 B of header per chunk.
+# 16K x 4 is the knee: +5.1% vs the JAM stream on this corpus with
+# near-best compute in BOTH directions (dec 0.82 s / enc 0.71 s; the
+# ratio-leaning 64K x 16 alternative reaches +3.0% at enc 0.85 s).
+PROD_CHUNK = 16 << 10
 PROD_LANES = 4
 PROD_UNITS = 960
 PROD_SPANS = 4096  # with lpx_auto the gate frames 0 on this corpus
