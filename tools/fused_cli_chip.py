@@ -60,7 +60,7 @@ def main():
     inp = os.path.join(wd, "input.bin")
     data = build_input(inp)
     mb = len(data) / 1e6
-    flags = ["-b8", "-m3", "-f0", "-u960", "-c8", "-L4", "-S8", "-Sa"]
+    flags = ["-b8", "-m3", "-f0", "-u960", "-c16", "-L4", "-S8", "-Sa"]
     py = [sys.executable, "-u", "-m", "jampack_tpu.cli"]
 
     # host-native reference archive (the byte contract)
