@@ -182,11 +182,29 @@ def main():
     if args.rounds:
         rounds_table(args.mb)
         return
-    for w in (2, 3, 4, 5):
+    # W=2 (k0=8) consistently WEDGED the tunnel-side compile (3/3
+    # attempts, 2026-08-20) and was superseded by k0=12 rounds ago; the
+    # open question is whether WIDER inits pay, so sweep 3..5.
+    for w in (3, 4, 5):
         env = dict(os.environ, JAMPACK_SA_INIT_WORDS=str(w))
         print(f"--- W={w} (k0={4 * w}) ---", flush=True)
-        subprocess.run([sys.executable, "-u", __file__, "--child",
-                        "--mb", str(args.mb)], env=env, check=True)
+        # the tunnel sometimes WEDGES a fresh process's first big
+        # dispatch (CLAUDE.md round-5 flakiness mode): bound each child
+        # and retry once; start_new_session so a timeout kill reaps the
+        # whole child group instead of orphaning it on the device
+        for attempt in (1, 2, 3):
+            try:
+                subprocess.run(
+                    [sys.executable, "-u", __file__, "--child",
+                     "--mb", str(args.mb)], env=env, check=True,
+                    timeout=900, start_new_session=True)
+                break
+            except subprocess.TimeoutExpired:
+                print(f"(W={w} attempt {attempt} timed out; retrying)",
+                      flush=True)
+            except subprocess.CalledProcessError as e:
+                print(f"(W={w} attempt {attempt} rc={e.returncode}; "
+                      f"retrying)", flush=True)
 
 
 if __name__ == "__main__":
