@@ -269,3 +269,27 @@ def test_m3_store_mode_golden_bytes(oracle, tmp_path):
     out = tmp_path / "m3.out"
     oracle.decompress(jam, out, "-t1")
     assert out.read_bytes() == GOLDEN_INPUT
+
+
+@pytest.mark.parametrize("engine_cls", [Engine, NativeEngine, TpuEngine],
+                         ids=["numpy", "native", "tpu"])
+def test_every_engine_decodes_golden_jt3_prod(engine_cls):
+    """JT3 production-config lock (round 5): archive written at the
+    frontier-chosen stream (u=960, L=4, c=16K, -Sa — the config bench.py
+    PROD_* prices); every engine must decode it forever."""
+    out = io.BytesIO()
+    decompress_stream(io.BytesIO(_read("golden_jt3_prod_u960_L4_c16_Sa.jt3")),
+                      out, engine=engine_cls())
+    assert out.getvalue() == GOLDEN_INPUT
+
+
+def test_jt3_prod_encoder_reproduces_golden_bytes():
+    """Production-config encode determinism incl. the -Sa gate choice."""
+    arc = io.BytesIO()
+    compress_stream(
+        io.BytesIO(GOLDEN_INPUT), arc,
+        Options(filters=1, anchor_units=960, ans_chunk=16 << 10,
+                rans_lanes=4, lpx_spans=4096, lpx_auto=True),
+        engine=NativeEngine(),
+    )
+    assert arc.getvalue() == _read("golden_jt3_prod_u960_L4_c16_Sa.jt3")
