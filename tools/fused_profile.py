@@ -45,9 +45,24 @@ def main():
     mb = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     n = (mb << 20) - ((mb << 20) % 120)
     data = textlike(n)
-    lanes, units, spans = 16, 960, 4096
+    # stream parameters: default to bench.py's PROD_* (round-5 frontier
+    # pick) so this profiles the production path; env overrides for
+    # experiments (JAMPACK_PROFILE_CHUNK in KB / _LANES / _SPANS)
+    import os as _os
+
+    import bench as _bench
+
+    chunk = int(_os.environ.get("JAMPACK_PROFILE_CHUNK",
+                                _bench.PROD_CHUNK >> 10)) << 10
+    lanes = int(_os.environ.get("JAMPACK_PROFILE_LANES",
+                                _bench.PROD_LANES))
+    units = _bench.PROD_UNITS
+    spans = int(_os.environ.get("JAMPACK_PROFILE_SPANS",
+                                _bench.PROD_SPANS))
+    print(f"stream: chunk={chunk >> 10}K lanes={lanes} units={units} "
+          f"spans={spans}")
     opt = Options(blocksize=n, filters=0, match_finder=0,
-                  rans_lanes=lanes, ans_chunk=8 << 10, anchor_units=units,
+                  rans_lanes=lanes, ans_chunk=chunk, anchor_units=units,
                   lpx_spans=spans)
     t0 = time.time()
     crc, payload = compress_block(data, opt, NativeEngine())
