@@ -668,3 +668,20 @@ def test_sharded_archive_decode_mixed_spans():
                             opt.anchor_units, opt.rans_lanes, s)
     got = decode_archive_sharded(io.BytesIO(arc.getvalue()), make_mesh(n_dev))
     assert got == b"".join(x.tobytes() for x in blocks)
+
+
+def test_batched_blocks_decode_rejects_bad_spans_list():
+    """A per-block spans sequence must match the block count."""
+    from jampack_tpu.runtime.device_decode import decode_blocks_device
+
+    opt = Options(blocksize=1 << 20, filters=0, match_finder=0,
+                  rans_lanes=4, ans_chunk=2048, anchor_units=16,
+                  lpx_spans=8)
+    blocks = [_corpus(5000) for _ in range(2)]
+    crcs, payloads = [], []
+    for b in blocks:
+        crc, payload = compress_block(b, opt, Engine())
+        crcs.append(crc)
+        payloads.append(payload)
+    with pytest.raises(ValueError, match="length"):
+        decode_blocks_device(payloads, crcs, 1 << 20, 16, 4, [8, 0, 8])
